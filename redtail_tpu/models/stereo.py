@@ -1,0 +1,395 @@
+"""The stereo-disparity model zoo, TPU-native.
+
+Four networks matching the reference's generated TensorRT graphs
+(`stereoDNN/sample_app/{nvtiny_513x161,nvsmall_1025x321,resnet18_1025x321,
+resnet18_2D_513x257}_net.cpp`, topologies in `stereoDNN/scripts/
+model_{nvsmall,resnet18,resnet18_2D}.py`):
+
+- **NVTiny** 513x161 and **NVSmall** 1025x321: siamese 2D conv encoder ->
+  concat cost volume -> 3D conv encoder/decoder with skip connections ->
+  soft-argmin over the full-resolution disparity axis.
+- **ResNet-18 (3D)** 1025x321: siamese ResNet-18 encoder (8 residual
+  blocks) -> concat cost volume -> deeper 3D encoder/decoder -> soft-argmin.
+- **ResNet18-2D** 513x257: siamese ResNet-18 encoder -> correlation cost
+  volume -> soft-argmax -> concat with left conv1 features -> 2D bottleneck
+  encoder/decoder -> sigmoid (disparity normalized to [0,1]; multiply by
+  image width for pixels, `sample_app/main.cpp:325-327`).
+
+Each is a pure function ``stereo_forward(spec, params, left, right)`` over a
+nested param dict whose structure mirrors the TF checkpoint
+(``encoder2D/conv1/{weights,biases}`` ...). One `jax.jit` compiles the whole
+network into a single XLA program — the reference's plugin graph,
+engine-builder and layer scheduler have no runtime counterpart here.
+
+Every TRT graph in the reference was generated per input size; here shapes
+are derived at trace time, so any input size works per spec.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from redtail_tpu.ops import (
+    conv2d,
+    conv2d_transpose,
+    conv3d,
+    conv3d_transpose,
+    corr_cost_volume,
+    cost_volume,
+    elu,
+    sigmoid,
+    softargmax,
+    softargmin,
+)
+
+Params = Dict[str, Dict]
+
+
+# ------------------------------------------------------------------ specs
+
+
+@dataclass(frozen=True)
+class Conv3dLayer:
+    name: str
+    out_ch: int
+    stride: int = 1  # applied to all of (D, H, W)
+
+
+@dataclass(frozen=True)
+class StereoSpec:
+    """Static description of one stereo network."""
+
+    name: str
+    input_hw: Tuple[int, int]          # (H, W) the reference shipped; any works
+    max_disp: int                      # at cost-volume (half) resolution
+    encoder2d: str                     # 'plain' (conv1..5) | 'resnet18'
+    enc2d_channels: Tuple[int, ...]    # plain encoder channel progression
+    enc3d: Tuple[Conv3dLayer, ...] = ()
+    dec3d: Tuple[Tuple[str, int, Optional[str]], ...] = ()  # (name, out_ch, skip)
+    corr: bool = False
+    bneck_channels: Tuple[Tuple[str, int, int], ...] = ()   # (name, out_ch, stride)
+    bneck_dec: Tuple[Tuple[str, int, Optional[str]], ...] = ()
+
+    @property
+    def full_max_disp(self) -> int:
+        return 2 * self.max_disp
+
+
+_NVSMALL_ENC3D = lambda f: (  # noqa: E731 — shared NVTiny/NVSmall shape, base width f
+    Conv3dLayer("conv3D_1", f),
+    Conv3dLayer("conv3D_2", f),
+    Conv3dLayer("conv3D_3ds", 2 * f, stride=2),
+    Conv3dLayer("conv3D_4", 2 * f),
+    Conv3dLayer("conv3D_5", 2 * f),
+    Conv3dLayer("conv3D_6ds", 4 * f, stride=2),
+    Conv3dLayer("conv3D_7", 4 * f),
+    Conv3dLayer("conv3D_8", 4 * f),
+)
+
+_RESNET18_ENC3D = (
+    Conv3dLayer("conv3D_1a", 32),
+    Conv3dLayer("conv3D_1b", 32),
+    Conv3dLayer("conv3D_1ds", 64, stride=2),
+    Conv3dLayer("conv3D_2a", 64),
+    Conv3dLayer("conv3D_2b", 64),
+    Conv3dLayer("conv3D_2ds", 64, stride=2),
+    Conv3dLayer("conv3D_3a", 64),
+    Conv3dLayer("conv3D_3b", 64),
+    Conv3dLayer("conv3D_3ds", 64, stride=2),
+    Conv3dLayer("conv3D_4a", 64),
+    Conv3dLayer("conv3D_4b", 64),
+    Conv3dLayer("conv3D_4ds", 128, stride=2),
+    Conv3dLayer("conv3D_5a", 128),
+    Conv3dLayer("conv3D_5b", 128),
+)
+
+STEREO_SPECS: Dict[str, StereoSpec] = {
+    # `nvtiny_513x161_net.cpp`: conv5 -> 8ch, cost vol C=16, D=24.
+    "nvtiny": StereoSpec(
+        name="nvtiny", input_hw=(161, 513), max_disp=24,
+        encoder2d="plain", enc2d_channels=(32, 32, 32, 32, 8),
+        enc3d=_NVSMALL_ENC3D(16),
+        dec3d=(("deconv3D_1", 32, "conv3D_5"),
+               ("deconv3D_2", 16, "conv3D_2"),
+               ("deconv3D_3", 1, None)),
+    ),
+    # `nvsmall_1025x321_net.cpp`: conv5 -> 32ch, cost vol C=64, D=48.
+    "nvsmall": StereoSpec(
+        name="nvsmall", input_hw=(321, 1025), max_disp=48,
+        encoder2d="plain", enc2d_channels=(32, 32, 32, 32, 32),
+        enc3d=_NVSMALL_ENC3D(32),
+        dec3d=(("deconv3D_1", 64, "conv3D_5"),
+               ("deconv3D_2", 32, "conv3D_2"),
+               ("deconv3D_3", 1, None)),
+    ),
+    # `resnet18_1025x321_net.cpp`: resnet encoder, cost vol C=64, D=68.
+    "resnet18": StereoSpec(
+        name="resnet18", input_hw=(321, 1025), max_disp=68,
+        encoder2d="resnet18", enc2d_channels=(32,),
+        enc3d=_RESNET18_ENC3D,
+        dec3d=(("deconv3D_1", 64, "conv3D_4b"),
+               ("deconv3D_2", 64, "conv3D_3b"),
+               ("deconv3D_3", 64, "conv3D_2b"),
+               ("deconv3D_4", 32, "conv3D_1b"),
+               ("deconv3D_5", 1, None)),
+    ),
+    # `resnet18_2D_513x257_net.cpp`: correlation cost volume, 2D bottleneck.
+    "resnet18_2d": StereoSpec(
+        name="resnet18_2d", input_hw=(257, 513), max_disp=48,
+        encoder2d="resnet18", enc2d_channels=(32,), corr=True,
+        bneck_channels=(("conv2D_1", 32, 1), ("conv2D_2", 32, 1),
+                        ("conv2D_3ds", 64, 2), ("conv2D_4", 64, 1),
+                        ("conv2D_5", 64, 1), ("conv2D_6ds", 128, 2),
+                        ("conv2D_7", 128, 1), ("conv2D_8", 128, 1)),
+        bneck_dec=(("deconv2D_1", 64, "conv2D_5"),
+                   ("deconv2D_2", 32, "conv2D_2"),
+                   ("deconv2D_3", 1, None)),
+    ),
+}
+
+
+# ------------------------------------------------------------- forward
+
+
+def _c2d(p, x, *, stride=1, act=None):
+    out = conv2d(x, p["weights"], p["biases"], strides=(stride, stride))
+    return elu(out) if act == "elu" else out
+
+
+def _plain_encoder(params, x):
+    """NVTiny/NVSmall 2D feature tower: conv1 5x5 s2 + conv2..4 + conv5
+    (no activation on conv5 — `model_nvsmall.py:33-35`)."""
+    enc = params["encoder2D"]
+    x = _c2d(enc["conv1"], x, stride=2, act="elu")
+    for l in ("conv2", "conv3", "conv4"):
+        x = _c2d(enc[l], x, act="elu")
+    return _c2d(enc["conv5"], x)
+
+
+def _resnet_encoder(params, x, *, return_conv1=False):
+    """ResNet-18 feature tower (`model_resnet18.py:write_2d_encoder`):
+    conv1 5x5 s2 + 8 residual blocks + encoder2D_out (no final act)."""
+    enc = params["encoder2D"]
+    x = _c2d(enc["conv1"], x, stride=2, act="elu")
+    conv1_act = x
+    for i in range(1, 9):
+        blk = enc[f"resblock{i}"]
+        y = _c2d(blk["res_conv1"], x, act="elu")
+        y = _c2d(blk["res_conv2"], y)
+        x = elu(y + x)
+    out = _c2d(enc["encoder2D_out"], x)
+    return (out, conv1_act) if return_conv1 else out
+
+
+def _encode_pair(spec, params, left, right):
+    if spec.encoder2d == "plain":
+        return _plain_encoder(params, left), _plain_encoder(params, right), None
+    fl, conv1 = _resnet_encoder(params, left, return_conv1=True)
+    fr = _resnet_encoder(params, right)
+    return fl, fr, conv1
+
+
+def _volume_head(spec, params, vol, full_hw):
+    """3D encoder/decoder + soft-argmin (NVTiny/NVSmall/ResNet-18)."""
+    enc3 = params["encoder3D"]
+    acts: Dict[str, jnp.ndarray] = {}
+    x = vol
+    for layer in spec.enc3d:
+        s = (layer.stride,) * 3
+        x = elu(conv3d(x, enc3[layer.name]["weights"],
+                       enc3[layer.name]["biases"], strides=s))
+        acts[layer.name] = x
+    dec3 = params["decoder3D"]
+    full_d = spec.full_max_disp
+    h_full, w_full = full_hw
+    for name, _out_ch, skip in spec.dec3d:
+        p = dec3[name]
+        if skip is not None:
+            target = acts[skip].shape[1:4]
+        else:
+            target = (full_d, h_full, w_full)
+        x = conv3d_transpose(x, p["weights"], p["biases"], out_spatial=target,
+                             strides=(2, 2, 2))
+        if skip is not None:
+            x = elu(x + acts[skip])
+    # (N, D_full, H, W, 1) -> (N, H, W): expected disparity in pixels.
+    return softargmin(x, axis=1)[..., 0]
+
+
+def _bneck_head(spec, params, vol, conv1_act, full_hw):
+    """ResNet18-2D head: soft-argmax + feature concat + 2D bottleneck.
+
+    Output is sigmoid-normalized disparity in [0, 1] at full resolution
+    (multiply by W for pixels)."""
+    d = softargmax(vol, axis=1)  # (N, H', W', 1)
+    x = jnp.concatenate([conv1_act, d.astype(conv1_act.dtype)], axis=-1)
+    enc = params["bneck_encoder2D"]
+    acts: Dict[str, jnp.ndarray] = {}
+    for name, _out_ch, stride in spec.bneck_channels:
+        x = _c2d(enc[name], x, stride=stride, act="elu")
+        acts[name] = x
+    dec = params["bneck_decoder2D"]
+    h_full, w_full = full_hw
+    for name, _out_ch, skip in spec.bneck_dec:
+        p = dec[name]
+        target = acts[skip].shape[1:3] if skip is not None else (h_full, w_full)
+        x = conv2d_transpose(x, p["weights"], p["biases"], out_spatial=target,
+                             strides=(2, 2))
+        if skip is not None:
+            x = elu(x + acts[skip])
+    return sigmoid(x)[..., 0]  # (N, H, W) in [0, 1]
+
+
+def stereo_forward(spec: StereoSpec, params: Params, left, right):
+    """Run one stereo network: NHWC image pair (values in [0,1]) -> disparity.
+
+    Returns (N, H, W): pixels for the 3D models, [0,1]-normalized for
+    resnet18_2d (the reference multiplies by image width downstream).
+    """
+    full_hw = left.shape[1:3]
+    fl, fr, conv1_act = _encode_pair(spec, params, left, right)
+    if spec.corr:
+        vol = corr_cost_volume(fl, fr, spec.max_disp)
+        return _bneck_head(spec, params, vol, conv1_act, full_hw)
+    vol = cost_volume(fl, fr, spec.max_disp)
+    return _volume_head(spec, params, vol, full_hw)
+
+
+# ------------------------------------------------------------- params
+
+
+def load_stereo_params(checkpoint_prefix, dtype=None) -> Params:
+    """Load a TF checkpoint (e.g. the shipped
+    `stereoDNN/models/NVTiny/TensorFlow/model-inference-513x161-0`) into the
+    nested param dict. Pure-Python reader — no TensorFlow required."""
+    from redtail_tpu.io.tf_checkpoint import load_checkpoint
+
+    flat = load_checkpoint(checkpoint_prefix)
+    params: Params = {}
+    for name, arr in flat.items():
+        parts = name.split("/")
+        if parts[0] == "model":
+            parts = parts[1:]
+        node = params
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        if dtype is not None:
+            arr = arr.astype(dtype)
+        node[parts[-1]] = jnp.asarray(arr)
+    return params
+
+
+def _spec_layer_shapes(spec: StereoSpec):
+    """(path, kernel_shape_rsck_or_vrsck, bias_shape) for every layer —
+    the shape table the reference carried in its generated C++."""
+    out = []
+    if spec.encoder2d == "plain":
+        chans = spec.enc2d_channels
+        in_ch = 3
+        for i, c in enumerate(chans, start=1):
+            k = 5 if i == 1 else 3
+            out.append((f"encoder2D/conv{i}", (k, k, in_ch, c), (c,)))
+            in_ch = c
+        cv_ch = 2 * chans[-1]
+    else:
+        f = spec.enc2d_channels[0]
+        out.append(("encoder2D/conv1", (5, 5, 3, f), (f,)))
+        for i in range(1, 9):
+            out.append((f"encoder2D/resblock{i}/res_conv1", (3, 3, f, f), (f,)))
+            out.append((f"encoder2D/resblock{i}/res_conv2", (3, 3, f, f), (f,)))
+        out.append(("encoder2D/encoder2D_out", (3, 3, f, f), (f,)))
+        cv_ch = 2 * f
+    in_ch = 1 + spec.enc2d_channels[0] if spec.corr else cv_ch
+    for layer in spec.enc3d:
+        out.append((f"encoder3D/{layer.name}",
+                    (3, 3, 3, in_ch, layer.out_ch), (layer.out_ch,)))
+        in_ch = layer.out_ch
+    for name, out_ch, _skip in spec.dec3d:
+        # VRSCK for transpose: C = transpose output channels, K = input.
+        out.append((f"decoder3D/{name}", (3, 3, 3, out_ch, in_ch), (out_ch,)))
+        in_ch = out_ch
+    if spec.bneck_channels:
+        in_ch = 1 + spec.enc2d_channels[0]  # softargmax + conv1 features
+        for name, out_ch, _stride in spec.bneck_channels:
+            out.append((f"bneck_encoder2D/{name}",
+                        (3, 3, in_ch, out_ch), (out_ch,)))
+            in_ch = out_ch
+        for name, out_ch, _skip in spec.bneck_dec:
+            out.append((f"bneck_decoder2D/{name}",
+                        (3, 3, out_ch, in_ch), (out_ch,)))
+            in_ch = out_ch
+    return out
+
+
+def init_stereo_params(spec: StereoSpec, key=None, dtype=jnp.float32) -> Params:
+    """He-init random params with the spec's exact shapes (for the two
+    models whose shipped checkpoints lack the data files)."""
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    params: Params = {}
+    for path, kshape, bshape in _spec_layer_shapes(spec):
+        key, sub = jax.random.split(key)
+        fan_in = int(np.prod(kshape[:-1]))
+        w = jax.random.normal(sub, kshape, dtype) * math.sqrt(2.0 / fan_in)
+        node = params
+        for p in path.split("/")[:-1]:
+            node = node.setdefault(p, {})
+        node[path.split("/")[-1]] = {
+            "weights": w, "biases": jnp.zeros(bshape, dtype)}
+    # re-nest: the leaf dicts were assigned one level too shallow
+    return _renest(params)
+
+
+def _renest(tree):
+    # init_stereo_params stores {'layer': {'weights': .., 'biases': ..}}
+    # directly — nothing to do, but keep hook for future param transforms.
+    return tree
+
+
+_TRT_2D_PREFIXES = ("conv2D", "deconv2D")
+
+
+def params_from_trt_blob(spec: StereoSpec, blob: Dict[str, np.ndarray],
+                         dtype=None) -> Params:
+    """Reconstruct the nested params from a TRT-format weight blob
+    (`read_trt_weights`). The blob stores flat KCRS/KVCRS arrays without
+    shapes (`tensorrt_model_builder.py:52-60`); shapes come from the spec.
+
+    This is the only weight path for NVSmall, whose TF checkpoint shipped
+    without data files (only the fp16 TRT blob survives).
+    """
+    params: Params = {}
+
+    def put(path, w, b):
+        node = params
+        parts = path.split("/")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        if dtype is not None:
+            w = w.astype(dtype)
+            b = b.astype(dtype)
+        node[parts[-1]] = {"weights": jnp.asarray(w), "biases": jnp.asarray(b)}
+
+    for path, kshape, bshape in _spec_layer_shapes(spec):
+        layer = path.split("/", 1)[1].replace("/", "_")
+        if path.startswith("encoder2D"):
+            blob_name = "left_" + layer  # siamese: left == right
+        else:
+            blob_name = layer
+        wk = blob[blob_name + "_k"]
+        wb = blob[blob_name + "_b"]
+        if len(kshape) == 4:  # KCRS -> RSCK
+            r, s, c, k = kshape
+            w = wk.reshape(k, c, r, s).transpose(2, 3, 1, 0)
+        else:  # KVCRS -> VRSCK; transpose convs store K=input ch
+            v, r, s, c, k = kshape
+            w = wk.reshape(k, v, c, r, s).transpose(1, 3, 4, 2, 0)
+        assert wb.shape == bshape or wb.size == int(np.prod(bshape))
+        put(path, w, wb.reshape(bshape))
+    return params
