@@ -1,0 +1,101 @@
+"""Distributed training step for the stereo models.
+
+The reference delegated training to external Caffe/DIGITS and TF rigs
+(`/root/reference/models/`, SURVEY.md §2.2) — this framework carries its own
+jitted, mesh-sharded training step so the full lifecycle (train → quantize →
+serve) happens in one system.
+
+Layout: batch over ``data``, image H over ``spatial`` (GSPMD halo
+exchanges); parameters and optimizer state replicated, gradients
+all-reduced over ICI by XLA. `jax.checkpoint` wraps the 3D-volume head to
+rematerialize the cost volume in backward — the (D, H, W, 2C) volume is the
+memory peak and recomputing it is far cheaper than holding it in HBM.
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from redtail_tpu.models import stereo_forward
+from redtail_tpu.parallel.sharding import batch_sharding, replicate
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def smooth_l1_disparity_loss(pred, target, mask=None, delta: float = 1.0):
+    """Huber/smooth-L1 on disparity maps, masked mean (mask=valid px)."""
+    pred = pred.astype(jnp.float32)
+    target = target.astype(jnp.float32)
+    err = pred - target
+    abs_err = jnp.abs(err)
+    loss = jnp.where(abs_err < delta, 0.5 * err * err / delta,
+                     abs_err - 0.5 * delta)
+    if mask is None:
+        return jnp.mean(loss)
+    mask = mask.astype(jnp.float32)
+    return jnp.sum(loss * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+
+
+def make_train_step(spec, optimizer: Optional[optax.GradientTransformation]
+                    = None, mesh=None, remat: bool = True):
+    """Build `(init_fn, step_fn)` for one stereo model.
+
+    - ``init_fn(params) -> TrainState``
+    - ``step_fn(state, left, right, target_disp, valid) -> (state, metrics)``
+
+    With a mesh, the step is jitted with explicit shardings (batch over
+    data, H over spatial, state replicated).
+    """
+    if optimizer is None:
+        optimizer = optax.adam(1e-4)
+
+    def forward(params, left, right):
+        return stereo_forward(spec, params, left, right)
+
+    if remat:
+        forward = jax.checkpoint(
+            forward, policy=jax.checkpoint_policies.nothing_saveable)
+
+    def loss_fn(params, left, right, target, valid):
+        pred = forward(params, left, right)
+        loss = smooth_l1_disparity_loss(pred, target, valid)
+        return loss, pred
+
+    def init_fn(params) -> TrainState:
+        return TrainState(params, optimizer.init(params),
+                          jnp.zeros((), jnp.int32))
+
+    def step(state: TrainState, left, right, target, valid):
+        (loss, pred), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, left, right, target, valid)
+        updates, opt_state = optimizer.update(grads, state.opt_state,
+                                              state.params)
+        params = optax.apply_updates(state.params, updates)
+        epe = smooth_l1_disparity_loss(pred, target, valid, delta=1e-9)
+        metrics = {"loss": loss, "epe": epe}
+        return TrainState(params, opt_state, state.step + 1), metrics
+
+    if mesh is None:
+        return init_fn, jax.jit(step)
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from redtail_tpu.parallel.sharding import DATA_AXIS, SPATIAL_AXIS
+
+    img_s = batch_sharding(mesh)
+    nhw = NamedSharding(mesh, P(DATA_AXIS, SPATIAL_AXIS, None))
+    rep = replicate(mesh)
+
+    step_jit = jax.jit(
+        step,
+        in_shardings=(rep, img_s, img_s, nhw, nhw),
+        out_shardings=(rep, rep),
+    )
+    return init_fn, step_jit

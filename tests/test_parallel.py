@@ -1,0 +1,101 @@
+"""Mesh sharding and distributed-training tests on the virtual 8-CPU mesh."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from redtail_tpu.models import STEREO_SPECS, init_stereo_params, stereo_forward
+from redtail_tpu.parallel import (
+    make_mesh,
+    make_train_step,
+    shard_stereo_forward,
+    smooth_l1_disparity_loss,
+)
+
+TINY = dataclasses.replace(STEREO_SPECS["nvtiny"], input_hw=(32, 64),
+                           max_disp=4)
+TINY2D = dataclasses.replace(STEREO_SPECS["resnet18_2d"], input_hw=(32, 64),
+                             max_disp=4)
+
+
+def _pair(spec, batch=8):
+    h, w = spec.input_hw
+    rs = np.random.RandomState(0)
+    left = rs.rand(batch, h, w, 3).astype(np.float32)
+    right = rs.rand(batch, h, w, 3).astype(np.float32)
+    return left, right
+
+
+def test_eight_devices_available():
+    assert len(jax.devices()) == 8
+
+
+def test_sharded_forward_matches_single_device():
+    params = init_stereo_params(TINY)
+    left, right = _pair(TINY)
+    want = np.asarray(stereo_forward(TINY, params, left, right))
+
+    mesh = make_mesh(data=4, spatial=2)
+    fn = shard_stereo_forward(TINY, params, mesh)
+    got = np.asarray(fn(params, left, right))
+    np.testing.assert_allclose(got, want, atol=2e-4)
+
+
+@pytest.mark.parametrize("mesh_shape", [(8, 1), (4, 2), (2, 4)])
+def test_train_step_runs_sharded(mesh_shape):
+    data, spatial = mesh_shape
+    mesh = make_mesh(data=data, spatial=spatial)
+    params = init_stereo_params(TINY)
+    init_fn, step = make_train_step(TINY, mesh=mesh)
+    state = init_fn(params)
+    left, right = _pair(TINY)
+    h, w = TINY.input_hw
+    target = np.random.RandomState(2).rand(8, h, w).astype(np.float32) * 4
+    valid = np.ones_like(target)
+    state, metrics = step(state, left, right, target, valid)
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(state.step) == 1
+    # params actually moved
+    w0 = params["encoder2D"]["conv1"]["weights"]
+    w1 = state.params["encoder2D"]["conv1"]["weights"]
+    assert float(jnp.abs(w1 - w0).max()) > 0
+
+
+def test_train_step_matches_unsharded():
+    params = init_stereo_params(TINY)
+    left, right = _pair(TINY)
+    h, w = TINY.input_hw
+    target = np.random.RandomState(2).rand(8, h, w).astype(np.float32) * 4
+    valid = np.ones_like(target)
+
+    init_fn, step1 = make_train_step(TINY)
+    s1, m1 = step1(init_fn(params), left, right, target, valid)
+
+    mesh = make_mesh(data=4, spatial=2)
+    init_fn2, step8 = make_train_step(TINY, mesh=mesh)
+    s8, m8 = step8(init_fn2(params), left, right, target, valid)
+    np.testing.assert_allclose(float(m1["loss"]), float(m8["loss"]),
+                               rtol=1e-4)
+
+
+def test_corr_model_trains():
+    mesh = make_mesh(data=8, spatial=1)
+    params = init_stereo_params(TINY2D)
+    init_fn, step = make_train_step(TINY2D, mesh=mesh)
+    left, right = _pair(TINY2D)
+    h, w = TINY2D.input_hw
+    target = np.random.RandomState(2).rand(8, h, w).astype(np.float32)
+    valid = np.ones_like(target)
+    state, metrics = step(init_fn(params), left, right, target, valid)
+    assert np.isfinite(float(metrics["loss"]))
+
+
+def test_smooth_l1():
+    pred = jnp.array([0.0, 2.0, 10.0])
+    tgt = jnp.array([0.0, 2.5, 0.0])
+    m = smooth_l1_disparity_loss(pred, tgt)
+    assert float(m) == pytest.approx((0.0 + 0.5 * 0.25 + 9.5) / 3, rel=1e-5)
