@@ -21,6 +21,9 @@ from typing import Dict, List, Tuple
 
 import numpy as np
 
+from redtail_tpu.io.protolite import fields as _proto_fields
+from redtail_tpu.io.protolite import read_varint as _read_varint
+
 _TABLE_MAGIC = 0xDB4775248B80FB57
 
 # TF DataType enum -> numpy dtype (the subset a model checkpoint can contain).
@@ -38,49 +41,6 @@ _DTYPES = {
     22: np.dtype("<u4"),   # DT_UINT32
     23: np.dtype("<u8"),   # DT_UINT64
 }
-
-
-# ------------------------------------------------------------- varint/proto
-
-
-def _read_varint(buf: bytes, pos: int) -> Tuple[int, int]:
-    result = 0
-    shift = 0
-    while True:
-        b = buf[pos]
-        pos += 1
-        result |= (b & 0x7F) << shift
-        if not b & 0x80:
-            return result, pos
-        shift += 7
-
-
-def _proto_fields(buf: bytes):
-    """Yield (field_number, wire_type, value) over a serialized message.
-
-    value is an int for varint fields, bytes for length-delimited, raw int
-    for fixed32/64.
-    """
-    pos = 0
-    n = len(buf)
-    while pos < n:
-        tag, pos = _read_varint(buf, pos)
-        field, wire = tag >> 3, tag & 7
-        if wire == 0:
-            val, pos = _read_varint(buf, pos)
-        elif wire == 2:
-            ln, pos = _read_varint(buf, pos)
-            val = buf[pos:pos + ln]
-            pos += ln
-        elif wire == 5:
-            val = struct.unpack_from("<I", buf, pos)[0]
-            pos += 4
-        elif wire == 1:
-            val = struct.unpack_from("<Q", buf, pos)[0]
-            pos += 8
-        else:
-            raise ValueError(f"unsupported wire type {wire}")
-        yield field, wire, val
 
 
 # ----------------------------------------------------------------- snappy

@@ -1,0 +1,143 @@
+"""TrailNet SResNet-18: trail orientation + lateral-offset classifier.
+
+Two implementations, cross-checked against each other in tests:
+
+1. The Caffe-graph path: `load_trailnet()` executes the shipped prototxt
+   (`models/pretrained/TrailNet_SResNet-18.prototxt`) through the
+   `CaffeNet` interpreter — drop-in for the reference `caffe_ros` node
+   (weights from a caffemodel when available; the upstream repo ships the
+   prototxt but its caffemodel was not mirrored).
+2. A native JAX builder mirroring the architecture (conv1+pool, 4x2
+   residual blocks with shifted-ReLU, avg-pool, dual 3-way heads) for
+   training and for serving without the interpreter.
+
+Output contract (`caffe_ros.cpp:128-154`): 6 floats — softmax over
+3 orientation classes (left/center/right of trail) concatenated with
+softmax over 3 lateral-offset classes, as the `32FC6` row the controller
+consumes (`px4_controller.cpp:351-381`).
+"""
+
+from __future__ import annotations
+
+import math
+from pathlib import Path
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from redtail_tpu.io.caffe import load_prototxt
+from redtail_tpu.models.caffe_net import CaffeNet
+from redtail_tpu.ops.activations import srelu
+
+DEFAULT_PROTOTXT = Path(
+    "/root/reference/models/pretrained/TrailNet_SResNet-18.prototxt")
+
+INPUT_HW = (180, 320)  # rows, cols (`TrailNet_SResNet-18.prototxt:1-7`)
+
+
+def load_trailnet(prototxt_path=DEFAULT_PROTOTXT,
+                  caffemodel_path=None, *, seed: int = 0,
+                  dtype=jnp.float32) -> CaffeNet:
+    """Build the TrailNet graph executor from the shipped prototxt."""
+    weights = None
+    if caffemodel_path is not None:
+        from redtail_tpu.io.caffe import load_caffemodel
+        weights = load_caffemodel(caffemodel_path)
+    return CaffeNet(load_prototxt(prototxt_path), weights, seed=seed,
+                    dtype=dtype)
+
+
+def trailnet_predict(net: CaffeNet, image_bgr_255):
+    """Full node path: raw 0-255 BGR HWC frame -> 6 probabilities.
+
+    The graph's own sub_mean Scale layer applies the 1/256, -0.5
+    normalization; input is the resized raw frame (the reference feeds
+    scale=1 shift=0 by default, `caffe_ros.cpp:51-52`)."""
+    x = jnp.asarray(image_bgr_255, net.dtype)
+    if x.ndim == 3:
+        x = x[None]
+    out = net(x)
+    return out  # (N, 6) — softmax ∥ softmax_t concat
+
+
+# ----------------------------------------------------------- native model
+
+
+_BLOCKS = (2, 2, 2, 2)
+_CHANNELS = (32, 64, 128, 256)
+
+
+def init_trailnet_params(key=None, dtype=jnp.float32) -> Dict:
+    """Random params for the native SResNet-18 (training entry point)."""
+    if key is None:
+        key = jax.random.PRNGKey(0)
+
+    def conv(key, kh, kw, cin, cout):
+        fan_in = kh * kw * cin
+        return {"w": jax.random.normal(key, (kh, kw, cin, cout), dtype)
+                * math.sqrt(2.0 / fan_in),
+                "b": jnp.zeros((cout,), dtype)}
+
+    params: Dict = {}
+    keys = jax.random.split(key, 64)
+    ki = iter(keys)
+    params["conv1"] = conv(next(ki), 7, 7, 3, _CHANNELS[0])
+    cin = _CHANNELS[0]
+    for stage, (nblocks, cout) in enumerate(zip(_BLOCKS, _CHANNELS), 1):
+        for blk in range(1, nblocks + 1):
+            stride_block = stage > 1 and blk == 1
+            params[f"res{stage}_{blk}_1"] = conv(next(ki), 3, 3, cin, cout)
+            params[f"res{stage}_{blk}_2"] = conv(next(ki), 3, 3, cout, cout)
+            if stride_block or cin != cout:
+                params[f"res{stage}_{blk}_proj"] = conv(next(ki), 1, 1, cin,
+                                                        cout)
+            cin = cout
+    # dual heads: fc3 (orientation), fc3_t (lateral offset)
+    for head in ("fc3", "fc3_t"):
+        k = next(ki)
+        params[head] = {
+            "w": jax.random.normal(k, (cin, 3), dtype) * math.sqrt(1.0 / cin),
+            "b": jnp.zeros((3,), dtype)}
+    return params
+
+
+def trailnet_forward(params: Dict, x):
+    """Native SResNet-18 forward: (N, 180, 320, 3) raw 0-255 -> (N, 6).
+
+    Mirrors the prototxt: sub_mean (1/256, -0.5) -> conv1 7x7 s2 + maxpool
+    3x3 s2 -> 4 stages of 2 residual blocks (SReLU activations, stride-2
+    first block per stage from stage 2) -> global avg pool -> fc3/fc3_t ->
+    softmax each -> concat."""
+    from jax import lax
+
+    x = jnp.asarray(x)
+    x = x * (1.0 / 256.0) - 0.5
+
+    def c2d(p, x, stride=1):
+        out = lax.conv_general_dilated(
+            x, p["w"], (stride, stride), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32)
+        return (out + p["b"]).astype(x.dtype)
+
+    x = srelu(c2d(params["conv1"], x, 2))
+    x = lax.reduce_window(x, jnp.asarray(-jnp.inf, x.dtype), lax.max,
+                          (1, 3, 3, 1), (1, 2, 2, 1),
+                          [(0, 0), (0, 1), (0, 1), (0, 0)])
+    for stage, nblocks in enumerate(_BLOCKS, 1):
+        for blk in range(1, nblocks + 1):
+            stride = 2 if (stage > 1 and blk == 1) else 1
+            res = srelu(c2d(params[f"res{stage}_{blk}_1"], x, stride))
+            res = c2d(params[f"res{stage}_{blk}_2"], res)
+            proj = params.get(f"res{stage}_{blk}_proj")
+            shortcut = c2d(proj, x, stride) if proj is not None else x
+            x = srelu(res + shortcut)
+    x = jnp.mean(x, axis=(1, 2))  # global average pool
+    outs = []
+    for head in ("fc3", "fc3_t"):
+        p = params[head]
+        logits = jnp.dot(x, p["w"], preferred_element_type=jnp.float32) + p["b"]
+        outs.append(jax.nn.softmax(logits, axis=-1))
+    return jnp.concatenate(outs, axis=-1).astype(x.dtype)

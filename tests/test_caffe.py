@@ -1,0 +1,260 @@
+"""Caffe toolchain tests: prototxt parsing, caffemodel round-trip, graph
+interpreter semantics (ceil-mode pooling, NCHW flatten order), TrailNet and
+YOLO graphs end-to-end, YOLO post-processing behavior."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from redtail_tpu.io.caffe import (
+    load_prototxt,
+    parse_caffemodel,
+    parse_prototxt,
+    write_caffemodel,
+)
+from redtail_tpu.models.caffe_net import CaffeNet
+from redtail_tpu.models import yolo
+from redtail_tpu.models.trailnet import (
+    init_trailnet_params,
+    load_trailnet,
+    trailnet_forward,
+)
+
+from conftest import REFERENCE, requires_reference
+
+TRAILNET_PROTO = REFERENCE / "models/pretrained/TrailNet_SResNet-18.prototxt"
+YOLO_PROTO = REFERENCE / "models/pretrained/yolo-relu.prototxt"
+
+
+# ------------------------------------------------------------- parsing
+
+
+def test_parse_basic_prototxt():
+    msg = parse_prototxt("""
+    input: "data"
+    input_shape { dim: 1 dim: 3 dim: 4 dim: 5 }
+    layer {
+      name: "c1"  # trailing comment
+      type: "Convolution"
+      bottom: "data"
+      top: "c1"
+      convolution_param { num_output: 8 kernel_size: 3 pad: 1 stride: 2 }
+    }
+    """)
+    assert msg.get("input") == "data"
+    assert msg.get("input_shape").get_all("dim") == [1, 3, 4, 5]
+    layer = msg.get("layer")
+    assert layer.get("type") == "Convolution"
+    assert layer.get("convolution_param").get("num_output") == 8
+
+
+@requires_reference
+def test_parse_trailnet_prototxt():
+    net = load_prototxt(TRAILNET_PROTO)
+    layers = net.get_all("layer")
+    types = [l.get("type") for l in layers]
+    assert types.count("Convolution") == 20
+    assert types.count("Scale") == 35
+    assert types.count("Softmax") == 2
+    assert types.count("Concat") == 1
+
+
+def test_caffemodel_roundtrip(rng):
+    blobs = {
+        "conv1": [rng.randn(8, 3, 3, 3).astype(np.float32),
+                  rng.randn(8).astype(np.float32)],
+        "fc": [rng.randn(10, 72).astype(np.float32)],
+    }
+    data = write_caffemodel(blobs)
+    back = parse_caffemodel(data)
+    assert set(back) == set(blobs)
+    for k in blobs:
+        for a, b in zip(blobs[k], back[k]):
+            np.testing.assert_array_equal(a, b)
+            assert a.shape == b.shape
+
+
+# ------------------------------------------------------- interpreter
+
+
+def _simple_net(extra=""):
+    return parse_prototxt("""
+    input: "data"
+    input_shape { dim: 1 dim: 2 dim: 6 dim: 6 }
+    """ + extra)
+
+
+def test_pooling_ceil_mode():
+    # Caffe: out = ceil((6-3)/2)+1 = 3 (floor arithmetic would give 2).
+    net = CaffeNet(_simple_net("""
+    layer { name: "p" type: "Pooling" bottom: "data" top: "p"
+            pooling_param { pool: MAX kernel_size: 3 stride: 2 } }
+    """))
+    x = np.arange(1 * 2 * 6 * 6, dtype=np.float32).reshape(1, 2, 6, 6)
+    out = np.asarray(net(x))
+    assert out.shape == (1, 3, 3, 2)
+    # last window is the clipped [4:6) range
+    xn = x[0]  # CHW
+    assert out[0, 2, 2, 0] == xn[0, 4:6, 4:6].max()
+    assert out[0, 0, 0, 1] == xn[1, 0:3, 0:3].max()
+
+
+def test_pooling_average_boundary_count():
+    # AVE with pad=0: boundary windows divide by the clipped element count.
+    net = CaffeNet(_simple_net("""
+    layer { name: "p" type: "Pooling" bottom: "data" top: "p"
+            pooling_param { pool: AVE kernel_size: 3 stride: 2 } }
+    """))
+    x = np.ones((1, 2, 6, 6), np.float32)
+    out = np.asarray(net(x))
+    # all-ones input: every window must average to exactly 1.0 regardless
+    # of clipping, which fails if the denominator is wrong.
+    np.testing.assert_allclose(out, 1.0, atol=1e-6)
+
+
+def test_inner_product_nchw_flatten_order():
+    # IP weights are ordered for NCHW flattening; a channels-last flatten
+    # would permute inputs and change the result.
+    proto = _simple_net("""
+    layer { name: "fc" type: "InnerProduct" bottom: "data" top: "fc"
+            inner_product_param { num_output: 4 } }
+    """)
+    rng = np.random.RandomState(0)
+    w = rng.randn(4, 72).astype(np.float32)
+    b = rng.randn(4).astype(np.float32)
+    net = CaffeNet(proto, weights={"fc": [w, b]})
+    x = rng.randn(1, 2, 6, 6).astype(np.float32)
+    out = np.asarray(net(x))
+    want = x.reshape(1, -1) @ w.T + b  # NCHW flatten
+    np.testing.assert_allclose(out, want, atol=1e-4)
+
+
+def test_scale_filler_constants():
+    proto = _simple_net("""
+    layer { name: "s" type: "Scale" bottom: "data" top: "s"
+            scale_param { filler { value: 0.5 } bias_term: true
+                          bias_filler { value: -1.0 } } }
+    """)
+    net = CaffeNet(proto)
+    x = np.full((1, 2, 6, 6), 4.0, np.float32)
+    np.testing.assert_allclose(np.asarray(net(x)), 1.0)
+
+
+def test_batchnorm_global_stats():
+    proto = _simple_net("""
+    layer { name: "bn" type: "BatchNorm" bottom: "data" top: "bn" }
+    """)
+    mean = np.array([1.0, 2.0], np.float32)
+    var = np.array([4.0, 9.0], np.float32)
+    sf = np.array([2.0], np.float32)  # stored stats are scaled by 1/sf
+    net = CaffeNet(proto, weights={"bn": [mean * 2, var * 2, sf]})
+    x = np.zeros((1, 2, 6, 6), np.float32)
+    out = np.asarray(net(x))
+    np.testing.assert_allclose(out[0, :, :, 0], -1.0 / 2.0, atol=1e-4)
+    np.testing.assert_allclose(out[0, :, :, 1], -2.0 / 3.0, atol=1e-4)
+
+
+# ------------------------------------------------------ full graphs
+
+
+@requires_reference
+def test_trailnet_graph_runs():
+    net = load_trailnet(TRAILNET_PROTO)
+    frame = np.random.RandomState(0).randint(
+        0, 256, (180, 320, 3)).astype(np.float32)
+    out = np.asarray(net(frame))
+    assert out.shape == (1, 6)
+    # two independent softmax groups
+    np.testing.assert_allclose(out[0, :3].sum(), 1.0, atol=1e-5)
+    np.testing.assert_allclose(out[0, 3:].sum(), 1.0, atol=1e-5)
+
+
+@requires_reference
+def test_yolo_graph_runs():
+    net = CaffeNet(load_prototxt(YOLO_PROTO))
+    frame = np.random.RandomState(0).randint(
+        0, 256, (448, 448, 3)).astype(np.float32)
+    out = np.asarray(net(frame))
+    assert out.shape == (1, 1470)
+
+
+@requires_reference
+def test_trailnet_weights_via_caffemodel_file(tmp_path):
+    """Round-trip: interpreter params -> caffemodel bytes -> reload ->
+    identical output (the conversion-toolchain gate, since the shipped
+    caffemodel itself was not mirrored)."""
+    net = load_trailnet(TRAILNET_PROTO, seed=3)
+    frame = np.random.RandomState(1).randint(
+        0, 256, (180, 320, 3)).astype(np.float32)
+    want = np.asarray(net(frame))
+    # export current (random) params as a caffemodel
+    export = {name: [np.asarray(b) for b in blobs]
+              for name, blobs in net.params.items()
+              if not isinstance(blobs[0], tuple)}
+    path = tmp_path / "m.caffemodel"
+    path.write_bytes(write_caffemodel(export))
+    net2 = load_trailnet(TRAILNET_PROTO, caffemodel_path=path, seed=3)
+    got = np.asarray(net2(frame))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+# ------------------------------------------------------------- native
+
+
+def test_native_trailnet_forward():
+    params = init_trailnet_params()
+    frame = np.random.RandomState(0).randint(
+        0, 256, (2, 180, 320, 3)).astype(np.float32)
+    out = np.asarray(trailnet_forward(params, frame))
+    assert out.shape == (2, 6)
+    np.testing.assert_allclose(out[:, :3].sum(-1), 1.0, atol=1e-5)
+    np.testing.assert_allclose(out[:, 3:].sum(-1), 1.0, atol=1e-5)
+
+
+# ---------------------------------------------------------------- YOLO
+
+
+def _make_pred(cell_row, cell_col, label, class_p, conf, box):
+    p = np.zeros(7 * 7 * 30, np.float32)
+    icell = cell_row * 7 + cell_col
+    p[icell * 20 + label] = class_p
+    p[49 * 20 + icell * 2 + 0] = conf
+    p[49 * 22 + (icell * 2 + 0) * 4: 49 * 22 + (icell * 2 + 0) * 4 + 4] = box
+    return p
+
+
+def test_yolo_decode_box_math():
+    # box at cell (3, 2), centered, w/h stored as sqrt (squared on decode)
+    p = _make_pred(3, 2, yolo.PERSON_CLASS, 0.9, 0.8,
+                   [0.5, 0.5, 0.5, 0.5])
+    preds = yolo.decode(p, 448, 448, prob_threshold=0.1)
+    assert len(preds) == 1
+    b = preds[0]
+    assert b.label == yolo.PERSON_CLASS
+    assert b.prob == pytest.approx(0.72)
+    # center = ((2+0.5)/7, (3+0.5)/7) * 448 = (160, 224); w = h = 0.25*448
+    assert (b.x, b.y, b.w, b.h) == (104, 168, 112, 112)
+
+
+def test_yolo_threshold():
+    p = _make_pred(0, 0, 5, 0.3, 0.3, [0.5, 0.5, 0.2, 0.2])
+    assert yolo.decode(p, 448, 448, prob_threshold=0.1) == []
+
+
+def test_yolo_iou_filter_removes_duplicates():
+    a = yolo.ObjectPrediction(1, 0.9, 100, 100, 50, 50)
+    b = yolo.ObjectPrediction(2, 0.5, 105, 105, 50, 50)  # heavy overlap
+    c = yolo.ObjectPrediction(1, 0.8, 300, 300, 40, 40)
+    out = yolo.filter_by_iou([a, b, c], iou_threshold=0.5)
+    assert out == [a, c]
+
+
+def test_yolo_postprocess_contract():
+    p = _make_pred(3, 2, 14, 0.9, 0.8, [0.5, 0.5, 0.5, 0.5])
+    mat = yolo.postprocess(p, 448, 448)
+    assert mat.shape == (1, 6)
+    assert mat[0, 0] == 14.0
+    assert mat.dtype == np.float32
+    empty = yolo.postprocess(np.zeros(1470, np.float32), 448, 448)
+    assert empty.shape == (0, 6)
