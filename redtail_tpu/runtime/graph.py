@@ -1,0 +1,210 @@
+"""In-process pub/sub node graph with latest-wins queues.
+
+Replaces the reference's ROS transport layer: each DNN/controller process
+there was a ROS node with a queue-size-1 subscriber keeping only the
+newest frame (`caffe_ros/include/caffe_ros/caffe_ros.h:30-35`,
+`caffe_ros.cpp:102-126` rate-limited spin). On TPU the stages share one
+process and one chip, frames stay device-resident between stages, and the
+"transport" is a mutex-guarded latest-wins slot per topic.
+
+Components:
+- ``Topic``: single-slot latest-wins mailbox with monotonically increasing
+  sequence numbers and timestamps.
+- ``Node``: a rate-limited worker thread pulling its subscribed topics and
+  publishing results (the `spin()` loop of each reference node).
+- ``ApproxTimeSync``: pairs messages from two topics whose timestamps
+  differ by at most a slop — the `message_filters::ApproximateTime` policy
+  used by `stereo_dnn_ros` (`stereo_dnn_ros_node.cpp:351-357`).
+- ``NodeGraph``: owns topics and nodes, start/stop lifecycle.
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+from dataclasses import dataclass, field
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+
+@dataclass
+class Message:
+    data: Any
+    stamp: float
+    seq: int
+
+
+class Topic:
+    """Single-slot latest-wins mailbox (ROS queue_size=1 semantics)."""
+
+    def __init__(self, name: str):
+        self.name = name
+        self._lock = threading.Lock()
+        self._msg: Optional[Message] = None
+        self._seq = 0
+        self._event = threading.Event()
+
+    def publish(self, data: Any, stamp: Optional[float] = None) -> Message:
+        with self._lock:
+            self._seq += 1
+            msg = Message(data, time.monotonic() if stamp is None else stamp,
+                          self._seq)
+            self._msg = msg
+        self._event.set()
+        return msg
+
+    def latest(self) -> Optional[Message]:
+        with self._lock:
+            return self._msg
+
+    def take(self, last_seq: int = 0) -> Optional[Message]:
+        """Return the latest message if newer than ``last_seq``."""
+        with self._lock:
+            if self._msg is not None and self._msg.seq > last_seq:
+                return self._msg
+            return None
+
+    def wait(self, timeout: Optional[float] = None) -> bool:
+        ok = self._event.wait(timeout)
+        self._event.clear()
+        return ok
+
+
+class ApproxTimeSync:
+    """Pair the freshest messages of two topics within a time slop."""
+
+    def __init__(self, a: Topic, b: Topic, slop: float = 0.05):
+        self.a = a
+        self.b = b
+        self.slop = slop
+        self._last_pair: Tuple[int, int] = (0, 0)
+
+    def take(self) -> Optional[Tuple[Message, Message]]:
+        ma, mb = self.a.latest(), self.b.latest()
+        if ma is None or mb is None:
+            return None
+        if abs(ma.stamp - mb.stamp) > self.slop:
+            return None
+        pair = (ma.seq, mb.seq)
+        if pair == self._last_pair:
+            return None
+        self._last_pair = pair
+        return ma, mb
+
+
+class Node:
+    """Rate-limited worker: pulls newest inputs, runs ``step``, publishes.
+
+    Subclass or pass ``fn(msgs) -> result``. Mirrors the reference node
+    loop: sleep to max_rate_hz, process only the latest frame, stamp the
+    output with the source timestamp
+    (`caffe_ros.cpp:102-126`, `:128-201`).
+    """
+
+    def __init__(self, name: str, fn: Callable, inputs: List[Topic],
+                 output: Optional[Topic] = None,
+                 max_rate_hz: float = 30.0,
+                 sync: Optional[ApproxTimeSync] = None):
+        self.name = name
+        self.fn = fn
+        self.inputs = inputs
+        self.output = output
+        self.max_rate_hz = max_rate_hz
+        self.sync = sync
+        self._last_seqs = [0] * len(inputs)
+        self._stop = threading.Event()
+        self._thread: Optional[threading.Thread] = None
+        self.processed = 0
+        self.errors = 0
+        self.last_error: Optional[BaseException] = None
+
+    # one scheduling quantum; factored out so tests can drive it directly
+    def step_once(self) -> bool:
+        if self.sync is not None:
+            pair = self.sync.take()
+            if pair is None:
+                return False
+            msgs = list(pair)
+        else:
+            msgs = []
+            for i, topic in enumerate(self.inputs):
+                m = topic.take(self._last_seqs[i])
+                if m is None:
+                    return False
+                msgs.append(m)
+            for i, m in enumerate(msgs):
+                self._last_seqs[i] = m.seq
+        try:
+            result = self.fn(*[m.data for m in msgs])
+        except BaseException as e:  # noqa: BLE001 — node must keep spinning
+            self.errors += 1
+            self.last_error = e
+            return False
+        self.processed += 1
+        if self.output is not None and result is not None:
+            self.output.publish(result, stamp=msgs[0].stamp)
+        return True
+
+    def _run(self):
+        period = 1.0 / self.max_rate_hz if self.max_rate_hz > 0 else 0.0
+        while not self._stop.is_set():
+            t0 = time.monotonic()
+            did = self.step_once()
+            dt = time.monotonic() - t0
+            sleep = period - dt if did else min(period, 0.002)
+            if sleep > 0:
+                self._stop.wait(sleep)
+
+    def start(self):
+        self._thread = threading.Thread(target=self._run, name=self.name,
+                                        daemon=True)
+        self._thread.start()
+
+    def stop(self, timeout: float = 2.0):
+        self._stop.set()
+        if self._thread is not None:
+            self._thread.join(timeout)
+
+
+class NodeGraph:
+    """Owns topics and nodes; composition root replacing roslaunch XML."""
+
+    def __init__(self):
+        self.topics: Dict[str, Topic] = {}
+        self.nodes: Dict[str, Node] = {}
+
+    def topic(self, name: str) -> Topic:
+        if name not in self.topics:
+            self.topics[name] = Topic(name)
+        return self.topics[name]
+
+    def add_node(self, name: str, fn: Callable, inputs: List[str],
+                 output: Optional[str] = None, *, max_rate_hz: float = 30.0,
+                 sync_slop: Optional[float] = None) -> Node:
+        in_topics = [self.topic(t) for t in inputs]
+        sync = None
+        if sync_slop is not None:
+            if len(in_topics) != 2:
+                raise ValueError("ApproxTimeSync requires exactly 2 inputs")
+            sync = ApproxTimeSync(in_topics[0], in_topics[1], sync_slop)
+        node = Node(name, fn, in_topics,
+                    self.topic(output) if output else None,
+                    max_rate_hz=max_rate_hz, sync=sync)
+        self.nodes[name] = node
+        return node
+
+    def start(self):
+        for node in self.nodes.values():
+            node.start()
+
+    def stop(self):
+        for node in self.nodes.values():
+            node.stop()
+
+    def spin_until(self, predicate: Callable[[], bool],
+                   timeout: float = 10.0) -> bool:
+        deadline = time.monotonic() + timeout
+        while time.monotonic() < deadline:
+            if predicate():
+                return True
+            time.sleep(0.005)
+        return False

@@ -1,0 +1,119 @@
+"""DNN serving nodes: the `caffe_ros` / `stereo_dnn_ros` equivalents.
+
+Each builds a jitted end-to-end function (fused ingest + model [+ device
+postproc]) and exposes a callable suitable for `NodeGraph.add_node`. The
+output contracts mirror the reference topics:
+
+- stereo: (H, W) float32 disparity scaled by image width for the 2D model
+  (`stereo_dnn_ros_node.cpp:77-95` publishes `32FC1` x w)
+- TrailNet: 6 float probabilities (`caffe_ros.cpp:145-154`, `32FC6`)
+- YOLO: (n, 6) [label, prob, x, y, w, h] (`caffe_ros.cpp:155-189`)
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from redtail_tpu.runtime.profiler import StageProfiler
+
+
+class StereoNode:
+    """Stereo disparity stage. ``fn(left_bgr_u8, right_bgr_u8) -> disp``."""
+
+    def __init__(self, spec, params, *, dtype=jnp.bfloat16,
+                 profiler: Optional[StageProfiler] = None):
+        from redtail_tpu.models import stereo_forward
+
+        self.spec = spec
+        self.profiler = profiler or StageProfiler()
+        h, w = spec.input_hw
+        params = jax.tree_util.tree_map(lambda a: jnp.asarray(a, dtype),
+                                        params)
+
+        def run(params, left_u8, right_u8):
+            def prep(x):
+                x = x.astype(jnp.float32)
+                if x.shape[1:3] != (h, w):
+                    x = jax.image.resize(x, (x.shape[0], h, w, 3), "bilinear")
+                return (x[..., ::-1] / 255.0).astype(dtype)  # BGR->RGB
+
+            disp = stereo_forward(spec, params, prep(left_u8), prep(right_u8))
+            if spec.corr:  # sigmoid-normalized -> pixels (x width)
+                disp = disp * w
+            return disp.astype(jnp.float32)
+
+        self._fn = jax.jit(run)
+        self._params = params
+
+    def __call__(self, left_u8, right_u8) -> np.ndarray:
+        if left_u8.ndim == 3:
+            left_u8, right_u8 = left_u8[None], right_u8[None]
+        with self.profiler.stage(f"stereo/{self.spec.name}"):
+            out = np.asarray(self._fn(self._params, jnp.asarray(left_u8),
+                                      jnp.asarray(right_u8)))
+        return out[0]
+
+
+class TrailNetNode:
+    """TrailNet stage: BGR uint8 frame -> 6 probabilities."""
+
+    def __init__(self, net=None, *, profiler: Optional[StageProfiler] = None):
+        from redtail_tpu.models.trailnet import INPUT_HW, load_trailnet
+
+        self.net = net if net is not None else load_trailnet()
+        self.profiler = profiler or StageProfiler()
+        h, w = INPUT_HW
+
+        def run(frame_u8):
+            x = frame_u8.astype(jnp.float32)
+            if x.ndim == 3:
+                x = x[None]
+            if x.shape[1:3] != (h, w):
+                x = jax.image.resize(x, (x.shape[0], h, w, 3), "bilinear")
+            # caffe_ros default inp_fmt is BGR with scale 1 shift 0
+            # (`caffe_ros.cpp:41,51-52`); the graph's sub_mean normalizes.
+            return self.net(x)
+
+        self._fn = jax.jit(run)
+
+    def __call__(self, frame_u8) -> np.ndarray:
+        with self.profiler.stage("trailnet"):
+            return np.asarray(self._fn(jnp.asarray(frame_u8)))[0]
+
+
+class YoloNode:
+    """YOLO stage: BGR uint8 frame -> (n, 6) detection matrix."""
+
+    def __init__(self, net, *, prob_threshold: float = 0.15,
+                 iou_threshold: float = 0.2,
+                 profiler: Optional[StageProfiler] = None):
+        self.net = net
+        self.prob_threshold = prob_threshold
+        self.iou_threshold = iou_threshold
+        self.profiler = profiler or StageProfiler()
+
+        def run(frame_u8):
+            x = frame_u8.astype(jnp.float32)
+            if x.ndim == 3:
+                x = x[None]
+            if x.shape[1:3] != (448, 448):
+                x = jax.image.resize(x, (x.shape[0], 448, 448, 3), "bilinear")
+            return self.net(x)
+
+        self._fn = jax.jit(run)
+
+    def __call__(self, frame_u8) -> np.ndarray:
+        from redtail_tpu.models import yolo
+
+        h, w = frame_u8.shape[:2] if frame_u8.ndim == 3 \
+            else frame_u8.shape[1:3]
+        with self.profiler.stage("yolo/dnn"):
+            raw = np.asarray(self._fn(jnp.asarray(frame_u8)))[0]
+        with self.profiler.stage("yolo/postproc"):
+            return yolo.postprocess(raw, w, h,
+                                    prob_threshold=self.prob_threshold,
+                                    iou_threshold=self.iou_threshold)

@@ -1,0 +1,173 @@
+"""Runtime tests: topics, latest-wins semantics, approx-time sync, node
+threads, frame sources, profiler, compile cache, viz, and a full in-process
+pipeline (source -> stereo node -> viz) — the single-machine analogue of
+the reference's rostest harness (`caffe_ros/tests/tests_basic.launch`)."""
+
+import dataclasses
+import time
+
+import numpy as np
+import pytest
+
+from redtail_tpu.runtime import (
+    ApproxTimeSync,
+    NodeGraph,
+    StageProfiler,
+    Topic,
+    disp_to_color,
+    make_mosaic,
+)
+from redtail_tpu.runtime.sources import SyntheticSource
+
+
+def test_topic_latest_wins():
+    t = Topic("x")
+    assert t.latest() is None
+    t.publish(1)
+    t.publish(2)
+    m = t.latest()
+    assert m.data == 2 and m.seq == 2
+    assert t.take(last_seq=2) is None
+    t.publish(3)
+    assert t.take(last_seq=2).data == 3
+
+
+def test_approx_time_sync():
+    a, b = Topic("a"), Topic("b")
+    sync = ApproxTimeSync(a, b, slop=0.05)
+    a.publish("L", stamp=1.00)
+    b.publish("R", stamp=1.20)
+    assert sync.take() is None  # outside slop
+    b.publish("R2", stamp=1.01)
+    ma, mb = sync.take()
+    assert (ma.data, mb.data) == ("L", "R2")
+    assert sync.take() is None  # same pair not delivered twice
+
+
+def test_node_graph_pipeline_threads():
+    g = NodeGraph()
+    out_log = []
+
+    def double(x):
+        return x * 2
+
+    def collect(x):
+        out_log.append(x)
+        return None
+
+    g.add_node("double", double, ["in"], "mid", max_rate_hz=200)
+    g.add_node("collect", collect, ["mid"], None, max_rate_hz=200)
+    g.start()
+    try:
+        for i in range(5):
+            g.topic("in").publish(i)
+            time.sleep(0.03)
+        assert g.spin_until(lambda: len(out_log) >= 3, timeout=5)
+    finally:
+        g.stop()
+    assert all(v % 2 == 0 for v in out_log)
+    assert g.nodes["double"].errors == 0
+
+
+def test_node_error_does_not_kill_loop():
+    g = NodeGraph()
+
+    def flaky(x):
+        if x == 0:
+            raise RuntimeError("boom")
+        return x
+
+    node = g.add_node("flaky", flaky, ["in"], "out", max_rate_hz=500)
+    g.start()
+    try:
+        g.topic("in").publish(0)
+        assert g.spin_until(lambda: node.errors >= 1, timeout=5)
+        g.topic("in").publish(7)
+        assert g.spin_until(lambda: node.processed >= 1, timeout=5)
+        assert g.topic("out").latest().data == 7
+    finally:
+        g.stop()
+
+
+def test_synthetic_source_rate():
+    t = Topic("cam")
+    src = SyntheticSource(t, shape=(8, 8, 3), rate_hz=100, count=10)
+    src.start()
+    time.sleep(0.5)
+    src.stop()
+    assert src.published == 10
+    assert t.latest().data.shape == (8, 8, 3)
+
+
+def test_profiler_report():
+    p = StageProfiler()
+    for _ in range(10):
+        with p.stage("stage_a"):
+            pass
+    p.record("stage_b", 0.010)
+    stats = p.stats()
+    assert stats["stage_a"]["count"] == 10
+    assert stats["stage_b"]["mean_ms"] == pytest.approx(10.0)
+    assert "stage_a" in p.report()
+
+
+def test_compilation_cache(tmp_path):
+    import jax
+    from redtail_tpu.runtime import enable_compilation_cache
+    from redtail_tpu.runtime.cache import aot_compile
+
+    d = enable_compilation_cache(str(tmp_path / "cache"))
+    assert (tmp_path / "cache").is_dir()
+    compiled = aot_compile(lambda x: x * 2, np.ones((4,), np.float32))
+    out = compiled(np.ones((4,), np.float32))
+    np.testing.assert_array_equal(np.asarray(out), 2.0)
+
+
+def test_disp_to_color():
+    disp = np.linspace(0, 96, 64, dtype=np.float32).reshape(8, 8)
+    rgb = disp_to_color(disp, 96.0)
+    assert rgb.shape == (8, 8, 3) and rgb.dtype == np.uint8
+    # zero disparity maps to black, max to ~white (the reference's float
+    # math truncates 254.9997 -> 254 at the endpoint; same here)
+    assert tuple(rgb[0, 0]) == (0, 0, 0)
+    assert all(c >= 254 for c in rgb[-1, -1])
+
+
+def test_make_mosaic():
+    left = np.zeros((8, 8, 3), np.uint8)
+    right = np.ones((8, 8, 3), np.uint8)
+    disp = np.full((8, 8), 48.0, np.float32)
+    m = make_mosaic(left, right, disp)
+    assert m.shape == (16, 16, 3)
+
+
+def test_stereo_pipeline_end_to_end():
+    """Camera pair -> StereoNode -> disparity topic, all in-process."""
+    from redtail_tpu.models import STEREO_SPECS, init_stereo_params
+    from redtail_tpu.runtime.nodes import StereoNode
+
+    spec = dataclasses.replace(STEREO_SPECS["resnet18_2d"],
+                               input_hw=(64, 128), max_disp=8)
+    node_fn = StereoNode(spec, init_stereo_params(spec))
+
+    g = NodeGraph()
+    g.add_node("stereo", node_fn, ["cam/left", "cam/right"],
+               "stereo/disparity", max_rate_hz=100, sync_slop=0.05)
+    rs = np.random.RandomState(0)
+    frame_l = rs.randint(0, 256, (64, 128, 3), np.uint8)
+    frame_r = rs.randint(0, 256, (64, 128, 3), np.uint8)
+    g.start()
+    try:
+        stamp = time.monotonic()
+        g.topic("cam/left").publish(frame_l, stamp=stamp)
+        g.topic("cam/right").publish(frame_r, stamp=stamp)
+        assert g.spin_until(
+            lambda: g.topic("stereo/disparity").latest() is not None,
+            timeout=60)
+    finally:
+        g.stop()
+    disp = g.topic("stereo/disparity").latest().data
+    assert disp.shape == (64, 128)
+    assert np.isfinite(disp).all()
+    # node stamps output with the source timestamp (reference contract)
+    assert g.topic("stereo/disparity").latest().stamp == stamp
