@@ -1,0 +1,162 @@
+"""VMEM-blocked cost-volume kernels.
+
+Correlation variant (`corrCostVolumeKernel`, `stereoDNN/lib/
+kernels.cu:169-200`): out[y, x, d] = sum_c L[y, x, c] * R[y, x-d, c],
+zero where x < d.
+
+Kernel strategy (learned the hard way on a v5e):
+
+- Consume the NHWC feature maps **directly** — each grid step owns one
+  image row's (W, C) tiles of both maps in VMEM, so W sits on sublanes
+  and C on lanes. The disparity shift is then a **sublane** roll, which
+  Mosaic lowers cheaply; a first NCHW design used lane rolls
+  (`tpu.dynamic_rotate` on the 128-lane axis) at ~14 us per roll — a
+  thousand of them cost more than the rest of the network combined.
+- Emit the volume **disparity-last**: (N, H, W, D). No transposes enter
+  or leave the kernel, and the consumer (soft-argmax over D) becomes a
+  lane-axis reduction, the fastest reduce on the VPU.
+- fp32 in-kernel (Mosaic rotates are 32-bit only; also matches the
+  reference FP16 path's fp32 accumulation, `kernels.cu:203-250`).
+
+The op carries a `jax.custom_vjp`: backward uses the XLA gather
+formulation (training-only path).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+# --------------------------------------------------------- correlation
+
+
+def _corr_kernel(l_ref, r_ref, o_ref, *, max_disp: int, w: int):
+    l = l_ref[0, 0].astype(jnp.float32)  # (W, C): W sublanes, C lanes
+    r = r_ref[0, 0].astype(jnp.float32)
+    row = lax.broadcasted_iota(jnp.int32, (w, 1), 0)  # x coordinate
+    cols = []
+    for d in range(max_disp):
+        rd = r if d == 0 else pltpu.roll(r, shift=d, axis=0)  # sublane roll
+        s = jnp.sum(l * rd, axis=1, keepdims=True)            # (W, 1)
+        cols.append(jnp.where(row >= d, s, 0.0))
+    o_ref[0, 0] = jnp.concatenate(cols, axis=1).astype(o_ref.dtype)
+
+
+def _corr_pallas_nhwc(left, right, max_disp: int):
+    """(N, H, W, C) x2 -> (N, H, W, D), disparity-last."""
+    n, h, w, c = left.shape
+    kernel = functools.partial(_corr_kernel, max_disp=max_disp, w=w)
+    feat_spec = pl.BlockSpec((1, 1, w, c), lambda i, j: (i, j, 0, 0),
+                             memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((1, 1, w, max_disp), lambda i, j: (i, j, 0, 0),
+                            memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(n, h),
+        in_specs=[feat_spec, feat_spec],
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((n, h, w, max_disp), left.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * h * w * c * max_disp,
+            bytes_accessed=2 * left.size * left.dtype.itemsize
+            + n * h * w * max_disp * left.dtype.itemsize,
+            transcendentals=0),
+        interpret=_interpret(),
+    )(left, right)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _corr_core(left, right, max_disp: int):
+    return _corr_pallas_nhwc(left, right, max_disp)
+
+
+def _corr_fwd(left, right, max_disp: int):
+    return _corr_core(left, right, max_disp), (left, right)
+
+
+def _corr_bwd(max_disp: int, res, g):
+    left, right = res
+    n, h, w, c = left.shape
+    g = g.astype(jnp.float32)  # (N, H, W, D)
+    # dL[x, c] = sum_d g[x, d] * R[x - d, c]
+    x_idx = jnp.arange(w)[:, None] - jnp.arange(max_disp)[None, :]  # (W, D)
+    valid = x_idx >= 0
+    r_shift = jnp.where(
+        valid[None, None, :, :, None],
+        right[:, :, jnp.clip(x_idx, 0), :].astype(jnp.float32),
+        0.0)  # (N, H, W, D, C)
+    dleft = jnp.einsum("nhwd,nhwdc->nhwc", g, r_shift)
+    # dR[y, c] = sum_d g[y + d, d] * L[y + d, c]
+    y_idx = jnp.arange(w)[:, None] + jnp.arange(max_disp)[None, :]  # (W, D)
+    validr = y_idx < w
+    yc = jnp.clip(y_idx, 0, w - 1)
+    g_shift = jnp.where(
+        validr[None, None],
+        jnp.take_along_axis(
+            g, jnp.broadcast_to(yc[None, None], (n, h, w, max_disp)),
+            axis=2),
+        0.0)  # (N, H, W->y, D)
+    l_shift = jnp.where(validr[None, None, :, :, None],
+                        left[:, :, yc, :].astype(jnp.float32), 0.0)
+    dright = jnp.einsum("nhwd,nhwdc->nhwc", g_shift, l_shift)
+    return dleft.astype(left.dtype), dright.astype(right.dtype)
+
+
+_corr_core.defvjp(_corr_fwd, _corr_bwd)
+
+
+def corr_cost_volume_pallas(left, right, max_disp: int):
+    """NHWC pair -> (N, H, W, D) correlation volume (disparity-last).
+
+    Note the axis order differs from `ops.corr_cost_volume` (NDHWC):
+    disparity-last is the TPU-native layout — the soft-argmax reduce and
+    the concat with 2D features both want D (or 1) on lanes.
+    """
+    return _corr_core(left, right, max_disp)
+
+
+# ------------------------------------------------------- concat variant
+
+
+def _concat_kernel(l_ref, r_ref, o_ref, *, max_disp: int, w: int):
+    l = l_ref[0, 0]  # (W, C)
+    r = r_ref[0, 0].astype(jnp.float32)  # 32-bit for the sublane rotate
+    row = lax.broadcasted_iota(jnp.int32, (w, 1), 0)
+    for d in range(max_disp):
+        o_ref[0, 0, d, :, : l.shape[1]] = l
+        rd = r if d == 0 else pltpu.roll(r, shift=d, axis=0)
+        o_ref[0, 0, d, :, l.shape[1]:] = jnp.where(
+            row >= d, rd, 0.0).astype(l.dtype)
+
+
+def cost_volume_pallas(left, right, max_disp: int):
+    """Concat cost volume (`costVolumeCopy[Pad]Kernel`,
+    `kernels.cu:51-97`): NHWC pair -> (N, D, H, W, 2C)... emitted as
+    (N, H, D, W, 2C) internally and transposed by XLA once."""
+    n, h, w, c = left.shape
+    kernel = functools.partial(_concat_kernel, max_disp=max_disp, w=w)
+    feat_spec = pl.BlockSpec((1, 1, w, c), lambda i, j: (i, j, 0, 0),
+                             memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((1, 1, max_disp, w, 2 * c),
+                            lambda i, j: (i, j, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel,
+        grid=(n, h),
+        in_specs=[feat_spec, feat_spec],
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((n, h, max_disp, w, 2 * c),
+                                       left.dtype),
+        interpret=_interpret(),
+    )(left, right)
+    return jnp.transpose(out, (0, 2, 1, 3, 4))  # -> (N, D, H, W, 2C)

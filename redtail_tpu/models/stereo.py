@@ -222,12 +222,12 @@ def _volume_head(spec, params, vol, full_hw):
     return softargmin(x, axis=1)[..., 0]
 
 
-def _bneck_head(spec, params, vol, conv1_act, full_hw):
-    """ResNet18-2D head: soft-argmax + feature concat + 2D bottleneck.
+def _bneck_head(spec, params, d, conv1_act, full_hw):
+    """ResNet18-2D head: feature concat + 2D bottleneck over the
+    soft-argmax disparity map ``d`` (N, H', W', 1).
 
     Output is sigmoid-normalized disparity in [0, 1] at full resolution
     (multiply by W for pixels)."""
-    d = softargmax(vol, axis=1)  # (N, H', W', 1)
     x = jnp.concatenate([conv1_act, d.astype(conv1_act.dtype)], axis=-1)
     enc = params["bneck_encoder2D"]
     acts: Dict[str, jnp.ndarray] = {}
@@ -255,8 +255,16 @@ def stereo_forward(spec: StereoSpec, params: Params, left, right):
     full_hw = left.shape[1:3]
     fl, fr, conv1_act = _encode_pair(spec, params, left, right)
     if spec.corr:
-        vol = corr_cost_volume(fl, fr, spec.max_disp)
-        return _bneck_head(spec, params, vol, conv1_act, full_hw)
+        if jax.default_backend() == "tpu":
+            # Disparity-last Pallas kernel (sublane rolls, zero
+            # transposes); soft-argmax becomes a lane reduction.
+            from redtail_tpu.kernels import corr_cost_volume_pallas
+            vol = corr_cost_volume_pallas(fl, fr, spec.max_disp)
+            d = softargmax(vol, axis=-1)[..., None]
+        else:
+            vol = corr_cost_volume(fl, fr, spec.max_disp)
+            d = softargmax(vol, axis=1)
+        return _bneck_head(spec, params, d, conv1_act, full_hw)
     vol = cost_volume(fl, fr, spec.max_disp)
     return _volume_head(spec, params, vol, full_hw)
 
