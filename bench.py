@@ -31,6 +31,9 @@ BASELINE_FPS = 1000.0 / (9.0 * (1025 * 321) / (513 * 257))  # ≈ 44.5
 def main():
     from redtail_tpu.models import (
         STEREO_SPECS, init_stereo_params, stereo_forward)
+    from redtail_tpu.runtime import enable_compilation_cache
+
+    enable_compilation_cache()  # TRT-plan-file equivalent; amortizes compile
 
     spec = dataclasses.replace(STEREO_SPECS["resnet18_2d"],
                                input_hw=(321, 1025))

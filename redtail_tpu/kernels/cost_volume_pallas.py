@@ -40,32 +40,42 @@ def _interpret() -> bool:
 # --------------------------------------------------------- correlation
 
 
-def _corr_kernel(l_ref, r_ref, o_ref, *, max_disp: int, w: int):
+def _corr_kernel(l_ref, r_ref, o_ref, prod_ref, *, max_disp: int, w: int):
+    # fori_loop (not a Python unroll): a 48-way unrolled body made the
+    # Mosaic compile pathologically slow. Per-disparity products land in a
+    # (D, W, C) scratch via its *leading* dim (dynamic indices on the last
+    # two dims need static alignment proofs Mosaic can't make), then one
+    # vectorized lane-reduction + mask emits the whole (D, W) tile.
     l = l_ref[0, 0].astype(jnp.float32)  # (W, C): W sublanes, C lanes
     r = r_ref[0, 0].astype(jnp.float32)
-    row = lax.broadcasted_iota(jnp.int32, (w, 1), 0)  # x coordinate
-    cols = []
-    for d in range(max_disp):
-        rd = r if d == 0 else pltpu.roll(r, shift=d, axis=0)  # sublane roll
-        s = jnp.sum(l * rd, axis=1, keepdims=True)            # (W, 1)
-        cols.append(jnp.where(row >= d, s, 0.0))
-    o_ref[0, 0] = jnp.concatenate(cols, axis=1).astype(o_ref.dtype)
+
+    def body(d, _):
+        rd = pltpu.roll(r, shift=d, axis=0)  # sublane roll
+        prod_ref[d] = l * rd
+        return 0
+
+    lax.fori_loop(0, max_disp, body, 0)
+    s = jnp.sum(prod_ref[:], axis=-1)  # (D, W)
+    x_ids = lax.broadcasted_iota(jnp.int32, (max_disp, w), 1)
+    d_ids = lax.broadcasted_iota(jnp.int32, (max_disp, w), 0)
+    o_ref[0, 0] = jnp.where(x_ids >= d_ids, s, 0.0).astype(o_ref.dtype)
 
 
 def _corr_pallas_nhwc(left, right, max_disp: int):
-    """(N, H, W, C) x2 -> (N, H, W, D), disparity-last."""
+    """(N, H, W, C) x2 -> (N, H, D, W)."""
     n, h, w, c = left.shape
     kernel = functools.partial(_corr_kernel, max_disp=max_disp, w=w)
     feat_spec = pl.BlockSpec((1, 1, w, c), lambda i, j: (i, j, 0, 0),
                              memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((1, 1, w, max_disp), lambda i, j: (i, j, 0, 0),
+    out_spec = pl.BlockSpec((1, 1, max_disp, w), lambda i, j: (i, j, 0, 0),
                             memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kernel,
         grid=(n, h),
         in_specs=[feat_spec, feat_spec],
         out_specs=out_spec,
-        out_shape=jax.ShapeDtypeStruct((n, h, w, max_disp), left.dtype),
+        out_shape=jax.ShapeDtypeStruct((n, h, max_disp, w), left.dtype),
+        scratch_shapes=[pltpu.VMEM((max_disp, w, c), jnp.float32)],
         cost_estimate=pl.CostEstimate(
             flops=2 * n * h * w * c * max_disp,
             bytes_accessed=2 * left.size * left.dtype.itemsize
@@ -87,28 +97,28 @@ def _corr_fwd(left, right, max_disp: int):
 def _corr_bwd(max_disp: int, res, g):
     left, right = res
     n, h, w, c = left.shape
-    g = g.astype(jnp.float32)  # (N, H, W, D)
-    # dL[x, c] = sum_d g[x, d] * R[x - d, c]
-    x_idx = jnp.arange(w)[:, None] - jnp.arange(max_disp)[None, :]  # (W, D)
+    g = g.astype(jnp.float32)  # (N, H, D, W)
+    # dL[x, c] = sum_d g[d, x] * R[x - d, c]
+    x_idx = jnp.arange(w)[None, :] - jnp.arange(max_disp)[:, None]  # (D, W)
     valid = x_idx >= 0
     r_shift = jnp.where(
         valid[None, None, :, :, None],
         right[:, :, jnp.clip(x_idx, 0), :].astype(jnp.float32),
-        0.0)  # (N, H, W, D, C)
-    dleft = jnp.einsum("nhwd,nhwdc->nhwc", g, r_shift)
-    # dR[y, c] = sum_d g[y + d, d] * L[y + d, c]
-    y_idx = jnp.arange(w)[:, None] + jnp.arange(max_disp)[None, :]  # (W, D)
+        0.0)  # (N, H, D, W, C)
+    dleft = jnp.einsum("nhdw,nhdwc->nhwc", g, r_shift)
+    # dR[y, c] = sum_d g[d, y + d] * L[y + d, c]
+    y_idx = jnp.arange(w)[None, :] + jnp.arange(max_disp)[:, None]  # (D, W)
     validr = y_idx < w
     yc = jnp.clip(y_idx, 0, w - 1)
     g_shift = jnp.where(
         validr[None, None],
         jnp.take_along_axis(
-            g, jnp.broadcast_to(yc[None, None], (n, h, w, max_disp)),
-            axis=2),
-        0.0)  # (N, H, W->y, D)
+            g, jnp.broadcast_to(yc[None, None], (n, h, max_disp, w)),
+            axis=3),
+        0.0)  # (N, H, D, W->y)
     l_shift = jnp.where(validr[None, None, :, :, None],
                         left[:, :, yc, :].astype(jnp.float32), 0.0)
-    dright = jnp.einsum("nhwd,nhwdc->nhwc", g_shift, l_shift)
+    dright = jnp.einsum("nhdw,nhdwc->nhwc", g_shift, l_shift)
     return dleft.astype(left.dtype), dright.astype(right.dtype)
 
 
@@ -116,11 +126,12 @@ _corr_core.defvjp(_corr_fwd, _corr_bwd)
 
 
 def corr_cost_volume_pallas(left, right, max_disp: int):
-    """NHWC pair -> (N, H, W, D) correlation volume (disparity-last).
+    """NHWC pair -> (N, H, D, W) correlation volume.
 
-    Note the axis order differs from `ops.corr_cost_volume` (NDHWC):
-    disparity-last is the TPU-native layout — the soft-argmax reduce and
-    the concat with 2D features both want D (or 1) on lanes.
+    Note the axis order differs from `ops.corr_cost_volume` (NDHWC): this
+    layout needs zero transposes on either side of the kernel — consumers
+    soft-argmax over axis 2 and get back an (N, H, W) map aligned with
+    the NHWC feature tensors.
     """
     return _corr_core(left, right, max_disp)
 
@@ -131,12 +142,17 @@ def corr_cost_volume_pallas(left, right, max_disp: int):
 def _concat_kernel(l_ref, r_ref, o_ref, *, max_disp: int, w: int):
     l = l_ref[0, 0]  # (W, C)
     r = r_ref[0, 0].astype(jnp.float32)  # 32-bit for the sublane rotate
+    c = l.shape[1]
     row = lax.broadcasted_iota(jnp.int32, (w, 1), 0)
-    for d in range(max_disp):
-        o_ref[0, 0, d, :, : l.shape[1]] = l
-        rd = r if d == 0 else pltpu.roll(r, shift=d, axis=0)
-        o_ref[0, 0, d, :, l.shape[1]:] = jnp.where(
-            row >= d, rd, 0.0).astype(l.dtype)
+
+    def body(d, _):
+        o_ref[0, 0, pl.ds(d, 1), :, :c] = l[None]
+        rd = pltpu.roll(r, shift=d, axis=0)
+        o_ref[0, 0, pl.ds(d, 1), :, c:] = jnp.where(
+            row >= d, rd, 0.0).astype(l.dtype)[None]
+        return 0
+
+    lax.fori_loop(0, max_disp, body, 0)
 
 
 def cost_volume_pallas(left, right, max_disp: int):

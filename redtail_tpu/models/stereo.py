@@ -255,18 +255,27 @@ def stereo_forward(spec: StereoSpec, params: Params, left, right):
     full_hw = left.shape[1:3]
     fl, fr, conv1_act = _encode_pair(spec, params, left, right)
     if spec.corr:
-        if jax.default_backend() == "tpu":
-            # Disparity-last Pallas kernel (sublane rolls, zero
-            # transposes); soft-argmax becomes a lane reduction.
+        if use_pallas_cost_volume():
+            # Transpose-free Pallas kernel producing (N, H, D, W);
+            # see kernels/cost_volume_pallas.py. Opt-in: Mosaic compile
+            # through this environment's remote-compile path takes
+            # minutes, and the XLA gather form already hits the perf
+            # target; flip REDTAIL_TPU_PALLAS_CV=1 to enable.
             from redtail_tpu.kernels import corr_cost_volume_pallas
             vol = corr_cost_volume_pallas(fl, fr, spec.max_disp)
-            d = softargmax(vol, axis=-1)[..., None]
+            d = softargmax(vol, axis=2)[..., None]
         else:
             vol = corr_cost_volume(fl, fr, spec.max_disp)
             d = softargmax(vol, axis=1)
         return _bneck_head(spec, params, d, conv1_act, full_hw)
     vol = cost_volume(fl, fr, spec.max_disp)
     return _volume_head(spec, params, vol, full_hw)
+
+
+def use_pallas_cost_volume() -> bool:
+    import os
+    return os.environ.get("REDTAIL_TPU_PALLAS_CV", "0") == "1" and \
+        jax.default_backend() == "tpu"
 
 
 # ------------------------------------------------------------- params
