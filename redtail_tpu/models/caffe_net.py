@@ -306,7 +306,7 @@ class CaffeNet:
         hi_h = max(0, (oh - 1) * sh + kh - h - ph)
         hi_w = max(0, (ow - 1) * sw + kw - w - pw)
         if mode == "MAX":
-            pad_val = jnp.asarray(-jnp.inf, x.dtype)
+            pad_val = -jnp.inf
             out = lax.reduce_window(
                 x, pad_val, lax.max, (1, kh, kw, 1), (1, sh, sw, 1),
                 [(0, 0), (ph, hi_h), (pw, hi_w), (0, 0)])
@@ -314,11 +314,11 @@ class CaffeNet:
         # AVE: Caffe divides by the window size clipped to the *padded*
         # extent — padded zeros count, ceil-extra cells do not.
         sums = lax.reduce_window(
-            x, jnp.asarray(0, x.dtype), lax.add, (1, kh, kw, 1),
+            x, 0.0, lax.add, (1, kh, kw, 1),
             (1, sh, sw, 1), [(0, 0), (ph, hi_h), (pw, hi_w), (0, 0)])
         ones = jnp.ones((1, h + 2 * ph, w + 2 * pw, 1), x.dtype)
         counts = lax.reduce_window(
-            ones, jnp.asarray(0, x.dtype), lax.add, (1, kh, kw, 1),
+            ones, 0.0, lax.add, (1, kh, kw, 1),
             (1, sh, sw, 1),
             [(0, 0), (0, max(0, hi_h - ph)), (0, max(0, hi_w - pw)), (0, 0)])
         return sums / counts

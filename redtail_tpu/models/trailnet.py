@@ -123,7 +123,7 @@ def trailnet_forward(params: Dict, x):
         return (out + p["b"]).astype(x.dtype)
 
     x = srelu(c2d(params["conv1"], x, 2))
-    x = lax.reduce_window(x, jnp.asarray(-jnp.inf, x.dtype), lax.max,
+    x = lax.reduce_window(x, -jnp.inf, lax.max,
                           (1, 3, 3, 1), (1, 2, 2, 1),
                           [(0, 0), (0, 1), (0, 1), (0, 0)])
     for stage, nblocks in enumerate(_BLOCKS, 1):
