@@ -129,11 +129,12 @@ def test_dual_head_labels_flip_together(rng):
 # ----------------------------------------------------------- train step
 
 
-def test_trailnet_train_step_decreases_loss(rng):
+def test_trailnet_train_step_decreases_loss():
     from redtail_tpu.models.trailnet import init_trailnet_params
 
     import optax
 
+    rng = np.random.RandomState(42)  # local: independent of test order
     params = init_trailnet_params(jax.random.PRNGKey(0))
     init_fn, step = make_trailnet_train_step(optax.adam(3e-4),
                                              augment=False)
