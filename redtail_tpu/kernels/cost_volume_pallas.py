@@ -12,9 +12,9 @@ Kernel strategy (learned the hard way on a v5e):
   Mosaic lowers cheaply; a first NCHW design used lane rolls
   (`tpu.dynamic_rotate` on the 128-lane axis) at ~14 us per roll — a
   thousand of them cost more than the rest of the network combined.
-- Emit the volume **disparity-last**: (N, H, W, D). No transposes enter
-  or leave the kernel, and the consumer (soft-argmax over D) becomes a
-  lane-axis reduction, the fastest reduce on the VPU.
+- Emit the volume as (N, H, D, W): no transposes enter or leave the
+  kernel (dynamic per-d writes go through the scratch's leading dim) and
+  the consumer soft-argmaxes over axis 2.
 - fp32 in-kernel (Mosaic rotates are 32-bit only; also matches the
   reference FP16 path's fp32 accumulation, `kernels.cu:203-250`).
 
@@ -61,28 +61,44 @@ def _corr_kernel(l_ref, r_ref, o_ref, prod_ref, *, max_disp: int, w: int):
     o_ref[0, 0] = jnp.where(x_ids >= d_ids, s, 0.0).astype(o_ref.dtype)
 
 
+def _pad_axis(x, axis: int, multiple: int = 8):
+    rem = (-x.shape[axis]) % multiple
+    if rem:
+        pads = [(0, 0)] * x.ndim
+        pads[axis] = (0, rem)
+        x = jnp.pad(x, pads)
+    return x
+
+
 def _corr_pallas_nhwc(left, right, max_disp: int):
     """(N, H, W, C) x2 -> (N, H, D, W)."""
     n, h, w, c = left.shape
-    kernel = functools.partial(_corr_kernel, max_disp=max_disp, w=w)
-    feat_spec = pl.BlockSpec((1, 1, w, c), lambda i, j: (i, j, 0, 0),
+    # The Mosaic sublane rotate requires an 8-aligned sublane dim; pad W
+    # (rolled axis) with zeros and slice the output back. Wrapped-in
+    # padding only lands at x < d, which the mask zeroes anyway.
+    left = _pad_axis(left, 2)
+    right = _pad_axis(right, 2)
+    wp = left.shape[2]
+    kernel = functools.partial(_corr_kernel, max_disp=max_disp, w=wp)
+    feat_spec = pl.BlockSpec((1, 1, wp, c), lambda i, j: (i, j, 0, 0),
                              memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((1, 1, max_disp, w), lambda i, j: (i, j, 0, 0),
+    out_spec = pl.BlockSpec((1, 1, max_disp, wp), lambda i, j: (i, j, 0, 0),
                             memory_space=pltpu.VMEM)
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid=(n, h),
         in_specs=[feat_spec, feat_spec],
         out_specs=out_spec,
-        out_shape=jax.ShapeDtypeStruct((n, h, max_disp, w), left.dtype),
-        scratch_shapes=[pltpu.VMEM((max_disp, w, c), jnp.float32)],
+        out_shape=jax.ShapeDtypeStruct((n, h, max_disp, wp), left.dtype),
+        scratch_shapes=[pltpu.VMEM((max_disp, wp, c), jnp.float32)],
         cost_estimate=pl.CostEstimate(
-            flops=2 * n * h * w * c * max_disp,
+            flops=2 * n * h * wp * c * max_disp,
             bytes_accessed=2 * left.size * left.dtype.itemsize
-            + n * h * w * max_disp * left.dtype.itemsize,
+            + n * h * wp * max_disp * left.dtype.itemsize,
             transcendentals=0),
         interpret=_interpret(),
     )(left, right)
+    return out[..., :w] if wp != w else out
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
@@ -160,10 +176,13 @@ def cost_volume_pallas(left, right, max_disp: int):
     `kernels.cu:51-97`): NHWC pair -> (N, D, H, W, 2C)... emitted as
     (N, H, D, W, 2C) internally and transposed by XLA once."""
     n, h, w, c = left.shape
-    kernel = functools.partial(_concat_kernel, max_disp=max_disp, w=w)
-    feat_spec = pl.BlockSpec((1, 1, w, c), lambda i, j: (i, j, 0, 0),
+    left = _pad_axis(left, 2)
+    right = _pad_axis(right, 2)
+    wp = left.shape[2]
+    kernel = functools.partial(_concat_kernel, max_disp=max_disp, w=wp)
+    feat_spec = pl.BlockSpec((1, 1, wp, c), lambda i, j: (i, j, 0, 0),
                              memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((1, 1, max_disp, w, 2 * c),
+    out_spec = pl.BlockSpec((1, 1, max_disp, wp, 2 * c),
                             lambda i, j: (i, j, 0, 0, 0),
                             memory_space=pltpu.VMEM)
     out = pl.pallas_call(
@@ -171,8 +190,9 @@ def cost_volume_pallas(left, right, max_disp: int):
         grid=(n, h),
         in_specs=[feat_spec, feat_spec],
         out_specs=out_spec,
-        out_shape=jax.ShapeDtypeStruct((n, h, max_disp, w, 2 * c),
+        out_shape=jax.ShapeDtypeStruct((n, h, max_disp, wp, 2 * c),
                                        left.dtype),
         interpret=_interpret(),
     )(left, right)
+    out = out[:, :, :, :w]
     return jnp.transpose(out, (0, 2, 1, 3, 4))  # -> (N, D, H, W, 2C)
