@@ -230,3 +230,23 @@ def test_rover_rc_channels():
     ch = rover.history[0]
     assert ch[0] == 1500 - 30 - 25   # steer trim - dz - 25
     assert ch[2] == 1500 + 30 + 100  # throttle trim + dz + 0.5*2*100
+
+
+def test_closed_loop_sim_tracks_curving_trail():
+    """Full-loop simulation (Gazebo-SITL role): the controller follows a
+    sinusoidal trail for 600 steps with a noisy virtual TrailNet, keeping
+    cross-track error bounded."""
+    from redtail_tpu.apps.sim_app import run_sim
+
+    result = run_sim(steps=600, noise=0.15, seed=3)
+    assert result["distance_x"] > 300
+    assert result["max_cross_track"] < 3.0
+    assert result["ai_score"] == 1.0
+
+
+def test_closed_loop_sim_straight_trail_tight():
+    from redtail_tpu.apps.sim_app import Trail, run_sim
+
+    result = run_sim(steps=300, noise=0.0, seed=0,
+                     trail=Trail(amplitude=0.0))
+    assert result["max_cross_track"] < 1.5

@@ -171,3 +171,22 @@ def test_stereo_pipeline_end_to_end():
     assert np.isfinite(disp).all()
     # node stamps output with the source timestamp (reference contract)
     assert g.topic("stereo/disparity").latest().stamp == stamp
+
+
+def test_telemetry_probes():
+    from redtail_tpu.runtime.telemetry import Telemetry
+    from redtail_tpu.control import Controller, ControllerConfig, Drone
+
+    ctl = Controller(Drone(), ControllerConfig())
+    records = []
+    tel = Telemetry(interval_sec=0.01, sink=records.append)
+    tel.add_controller(ctl)
+    tel.add_probe("boom", lambda: 1 / 0)  # probes must not kill telemetry
+    tel.sample()
+    assert records[0]["state"] == "NOOP"
+    assert records[0]["ai_score"] == 0.0
+    assert "err" in records[0]["boom"]
+    tel.start()
+    time.sleep(0.1)
+    tel.stop()
+    assert len(tel.records) > 3
