@@ -27,17 +27,25 @@ import pytest
 
 REFERENCE = Path("/root/reference")
 GOLDEN_DIR = REFERENCE / "stereoDNN" / "tests" / "data"
+LOCAL_GOLDEN_DIR = Path(__file__).parent / "data" / "golden_ops"
 
 requires_reference = pytest.mark.skipif(
     not REFERENCE.is_dir(), reason="reference tree not mounted"
 )
 
+_golden_sets = [p for p in ("reference", "local")
+                if (GOLDEN_DIR if p == "reference"
+                    else LOCAL_GOLDEN_DIR).is_dir()]
 
-@pytest.fixture(scope="session")
-def golden_dir():
-    if not GOLDEN_DIR.is_dir():
-        pytest.skip("reference golden data not available")
-    return GOLDEN_DIR
+
+@pytest.fixture(scope="session", params=_golden_sets)
+def golden_dir(request):
+    """Op-golden fixtures: the reference's TF-generated .bin files AND the
+    framework-regenerated set (tools/make_golden_ops.py — independent
+    torch/numpy oracle); each op test runs against every available set."""
+    if not _golden_sets:
+        pytest.skip("no golden data available")
+    return GOLDEN_DIR if request.param == "reference" else LOCAL_GOLDEN_DIR
 
 
 @pytest.fixture(scope="session")

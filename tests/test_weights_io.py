@@ -84,3 +84,29 @@ def test_resnet18_2d_checkpoint_loads():
     assert any("resblock" in k for k in ckpt)
     for name, arr in ckpt.items():
         assert arr.size > 0, name
+
+
+@requires_reference
+def test_convert_model_blob_roundtrip(tmp_path):
+    """Conversion toolchain: checkpoint -> TRT blob must byte-match the
+    reference's shipped NVTiny blob (same writer format + layouts as
+    `tensorrt_model_builder.py`)."""
+    import sys
+    sys.path.insert(0, "tools")
+    from convert_model import tree_to_blob
+
+    from redtail_tpu.models import STEREO_SPECS, load_stereo_params
+
+    params = load_stereo_params(NVTINY_CKPT)
+    blob = tree_to_blob(STEREO_SPECS["nvtiny"], params)
+    shipped = read_trt_weights(NVTINY_TRT)
+    assert set(blob) == set(shipped)
+    for name in shipped:
+        np.testing.assert_array_equal(
+            np.asarray(blob[name], np.float32).reshape(-1), shipped[name],
+            err_msg=name)
+    # and the writer emits a parseable file
+    path = tmp_path / "w.bin"
+    write_trt_weights(blob, path)
+    back = read_trt_weights(path)
+    assert set(back) == set(shipped)
