@@ -116,8 +116,13 @@ def trailnet_forward(params: Dict, x):
     x = x * (1.0 / 256.0) - 0.5
 
     def c2d(p, x, stride=1):
+        # Caffe-style symmetric padding (pad = k//2), matching the shipped
+        # prototxt's Convolution semantics — NOT TF-SAME, whose asymmetric
+        # split shifts boundary pixels for even-size/strided cases.
+        kh, kw = p["w"].shape[:2]
         out = lax.conv_general_dilated(
-            x, p["w"], (stride, stride), "SAME",
+            x, p["w"], (stride, stride),
+            [(kh // 2, kh // 2), (kw // 2, kw // 2)],
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             preferred_element_type=jnp.float32)
         return (out + p["b"]).astype(x.dtype)

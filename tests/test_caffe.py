@@ -258,3 +258,27 @@ def test_yolo_postprocess_contract():
     assert mat.dtype == np.float32
     empty = yolo.postprocess(np.zeros(1470, np.float32), 448, 448)
     assert empty.shape == (0, 6)
+
+
+def test_trailnet_prototxt_emitter_roundtrip():
+    """Emit the native SResNet-18 as a prototxt + blobs, execute it with
+    the CaffeNet interpreter, and match the native JAX forward exactly —
+    closing the loop between the net generator (the reference's
+    caffe_srelu_resnet.py role), the graph interpreter, and the native
+    model."""
+    import jax
+
+    from redtail_tpu.io.caffe import parse_prototxt
+    from redtail_tpu.models.trailnet_proto import (
+        emit_trailnet_prototxt, native_params_to_blobs)
+
+    params = init_trailnet_params(jax.random.PRNGKey(5))
+    proto = emit_trailnet_prototxt()
+    blobs = native_params_to_blobs(params)
+    net = CaffeNet(parse_prototxt(proto), weights=blobs)
+    frame = np.random.RandomState(2).randint(
+        0, 256, (180, 320, 3)).astype(np.float32)
+    # native forward takes HWC raw; interpreter input likewise (NHWC)
+    want = np.asarray(trailnet_forward(params, frame[None]))
+    got = np.asarray(net(frame))
+    np.testing.assert_allclose(got, want, atol=2e-5)
