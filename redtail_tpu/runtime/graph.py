@@ -116,6 +116,7 @@ class Node:
         self.processed = 0
         self.errors = 0
         self.last_error: Optional[BaseException] = None
+        self.last_heartbeat = time.monotonic()
 
     # one scheduling quantum; factored out so tests can drive it directly
     def step_once(self) -> bool:
@@ -148,6 +149,7 @@ class Node:
         period = 1.0 / self.max_rate_hz if self.max_rate_hz > 0 else 0.0
         while not self._stop.is_set():
             t0 = time.monotonic()
+            self.last_heartbeat = t0
             did = self.step_once()
             dt = time.monotonic() - t0
             sleep = period - dt if did else min(period, 0.002)
@@ -208,3 +210,21 @@ class NodeGraph:
                 return True
             time.sleep(0.005)
         return False
+
+    def stalled_nodes(self, max_silence_sec: float = 2.0) -> List[str]:
+        """Failure detection: nodes whose loop has not ticked recently
+        (a stage wedged inside its callable). The reference's closest
+        analogue was ROS_FATAL-and-shutdown (`tensor_net.cpp:127-129`);
+        here supervision is a queryable health probe so the composition
+        root can restart or degrade instead of dying."""
+        now = time.monotonic()
+        return [name for name, node in self.nodes.items()
+                if node._thread is not None and node._thread.is_alive()
+                and now - node.last_heartbeat > max_silence_sec]
+
+    def restart_node(self, name: str, timeout: float = 2.0) -> None:
+        """Recovery: stop (best-effort) and restart a node's thread."""
+        node = self.nodes[name]
+        node.stop(timeout)
+        node._stop = threading.Event()
+        node.start()

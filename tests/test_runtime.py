@@ -190,3 +190,38 @@ def test_telemetry_probes():
     time.sleep(0.1)
     tel.stop()
     assert len(tel.records) > 3
+
+
+def test_watchdog_detects_stalled_node():
+    import threading
+    g = NodeGraph()
+    release = threading.Event()
+
+    def wedge(x):
+        release.wait(10)  # simulates a stage stuck in its callable
+        return x
+
+    node = g.add_node("wedge", wedge, ["in"], None, max_rate_hz=100)
+    g.start()
+    try:
+        g.topic("in").publish(1)
+        time.sleep(0.3)
+        assert "wedge" in g.stalled_nodes(max_silence_sec=0.2)
+    finally:
+        release.set()
+        g.stop()
+
+
+def test_restart_node_recovers():
+    g = NodeGraph()
+    seen = []
+    g.add_node("n", seen.append, ["in"], None, max_rate_hz=200)
+    g.start()
+    try:
+        g.topic("in").publish(1)
+        assert g.spin_until(lambda: len(seen) == 1, timeout=5)
+        g.restart_node("n")
+        g.topic("in").publish(2)
+        assert g.spin_until(lambda: len(seen) == 2, timeout=5)
+    finally:
+        g.stop()
