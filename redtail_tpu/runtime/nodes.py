@@ -25,12 +25,38 @@ class StereoNode:
     """Stereo disparity stage. ``fn(left_bgr_u8, right_bgr_u8) -> disp``."""
 
     def __init__(self, spec, params, *, dtype=jnp.bfloat16,
+                 quantize: Optional[str] = None,
                  profiler: Optional[StageProfiler] = None):
+        """``quantize='w8'`` stores conv weights as per-channel int8 and
+        dequantizes once at load — the weight-only rung of the reference's
+        FP32/FP16/INT8 ladder (4x smaller weights at rest; accuracy gated
+        in tests against the fp32 path)."""
         from redtail_tpu.models import stereo_forward
 
         self.spec = spec
         self.profiler = profiler or StageProfiler()
         h, w = spec.input_hw
+        if quantize == "w8":
+            from redtail_tpu.quant import quantize_stereo_params_w8
+            from redtail_tpu.quant.ptq import dequantize
+            qp = quantize_stereo_params_w8(params)
+
+            def dq(node):
+                out = {}
+                for k, v in node.items():
+                    if isinstance(v, dict) and "weights_q" in v:
+                        out[k] = {"weights": jnp.asarray(dequantize(
+                            np.asarray(v["weights_q"]),
+                            np.asarray(v["w_scale"]))),
+                            "biases": v["biases"]}
+                    elif isinstance(v, dict):
+                        out[k] = dq(v)
+                    else:
+                        out[k] = v
+                return out
+            params = dq(qp)
+        elif quantize is not None:
+            raise ValueError(f"unknown quantize mode {quantize!r}")
         params = jax.tree_util.tree_map(lambda a: jnp.asarray(a, dtype),
                                         params)
 

@@ -128,3 +128,33 @@ def test_trailnet_int8_feature_agreement():
     # activations with no real outliers) clipping costs accuracy that
     # trained networks recover — gate loosely, it exercises the KL path.
     assert cos_for("entropy") > 0.85
+
+
+@requires_reference
+def test_stereo_w8_disparity_close_to_fp32():
+    """Weight-only int8 stereo serving (StereoNode quantize='w8') on real
+    NVTiny weights: disparity within the reference's FP16-class tolerance
+    of the fp32 path."""
+    import jax.numpy as jnp
+
+    from redtail_tpu.models import STEREO_SPECS, load_stereo_params
+    from redtail_tpu.runtime.nodes import StereoNode
+
+    cv2 = pytest.importorskip("cv2")
+    spec = STEREO_SPECS["nvtiny"]
+    params = load_stereo_params(
+        REFERENCE / "stereoDNN/models/NVTiny/TensorFlow/"
+        "model-inference-513x161-0")
+    # a REAL stereo pair: on noise inputs the cost distribution is flat
+    # and soft-argmin amplifies any perturbation into many px.
+    samples = REFERENCE / "stereoDNN/sample_app/data"
+    frame_l = cv2.imread(str(samples / "img_left.png"))
+    frame_r = cv2.imread(str(samples / "img_right.png"))
+    fp32 = StereoNode(spec, params, dtype=jnp.float32)
+    w8 = StereoNode(spec, params, dtype=jnp.float32, quantize="w8")
+    d_fp = fp32(frame_l, frame_r)
+    d_w8 = w8(frame_l, frame_r)
+    diff = np.abs(d_fp - d_w8)
+    # FP16-class agreement on well-posed inputs (48-px disparity range)
+    assert diff.mean() < 0.1
+    assert np.percentile(diff, 99) < 1.0
