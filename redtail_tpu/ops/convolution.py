@@ -101,19 +101,59 @@ def conv2d(x, w, b=None, *, strides=(1, 1), padding="SAME",
 
 
 def conv3d(x, w, b=None, *, strides=(1, 1, 1), padding="SAME",
-           accum_dtype=jnp.float32, precision=None):
+           accum_dtype=jnp.float32, precision=None, impl=None):
     """3D convolution, NDHWC activations, DHWIO weights, TF `SAME` semantics.
 
     Replaces the reference `Conv3DPlugin` (`stereoDNN/lib/conv3d_plugin.cpp`)
     including its `Conv3DType::kTensorFlow` reshape trick
     (`conv_utils.cpp:28-72`) and the separate D-padding plugin
     (`padding_plugin.cpp`): XLA takes asymmetric (lo, hi) padding per dim.
+
+    ``impl``: 'native' (one lax 3D conv, the default) or 'decomposed'
+    (kD conv2d calls with the depth axis folded into batch). Measured on a
+    v5e: decomposed wins ~24% on an isolated conv3D_1-shaped layer but
+    LOSES in full-model context (NVSmall 126 vs 101 ms — the pad/slice/
+    add glue breaks XLA's cross-layer fusion), so native stays default.
     """
-    out = _conv_nd(x, w, strides, padding, ("NDHWC", "DHWIO", "NDHWC"),
-                   accum_dtype, precision)
+    if impl is None:
+        impl = "native"
+    if impl == "decomposed":
+        out = _conv3d_decomposed(x, w, strides, padding, accum_dtype,
+                                 precision)
+    else:
+        out = _conv_nd(x, w, strides, padding, ("NDHWC", "DHWIO", "NDHWC"),
+                       accum_dtype, precision)
     if b is not None:
         out = out + b.astype(out.dtype)
     return out.astype(x.dtype)
+
+
+def _conv3d_decomposed(x, w, strides, padding, accum_dtype, precision):
+    """conv3d as kD depth-slices of conv2d with D folded into batch.
+
+    y[:, do] = sum_kd conv2d(x[:, do*sd + kd - pad_lo], w[kd]); the D
+    gather is a strided slice, each kd contributes one big batched 2D
+    conv (batch = N*D_out) that XLA tiles onto the MXU far better than
+    its 3D path."""
+    n, d, h, ww, c = x.shape
+    kd, kh, kw = w.shape[:3]
+    sd, sh, sw = strides
+    (pd_lo, pd_hi), ph, pw = _resolve_padding((d, h, ww), (kd, kh, kw),
+                                              strides, padding)
+    xp = jnp.pad(x, ((0, 0), (pd_lo, pd_hi), (0, 0), (0, 0), (0, 0)))
+    dp = xp.shape[1]
+    d_out = (dp - kd) // sd + 1
+    acc = None
+    for k in range(kd):
+        xs = lax.slice_in_dim(xp, k, k + sd * (d_out - 1) + 1, sd, axis=1)
+        xb = xs.reshape(n * d_out, h, ww, c)
+        y = lax.conv_general_dilated(
+            xb, w[k], (sh, sw), [ph, pw],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=accum_dtype,
+            precision=_precision_for(x, precision))
+        acc = y if acc is None else acc + y
+    return acc.reshape(n, d_out, *acc.shape[1:])
 
 
 def _conv_nd_transpose(y, w, out_spatial, strides, padding, dim_letters,
