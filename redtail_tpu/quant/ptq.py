@@ -246,3 +246,37 @@ def caffe_net_forward_int8(net, inputs, act_scales: Dict[str, float],
             blobs[top] = out
             last_top = top
     return blobs if return_blobs else blobs[last_top]
+
+
+# ------------------------------------------------------ calibration cache
+
+
+def save_calibration(scales: Dict[str, float], path) -> None:
+    """Persist calibration scales — the reference's INT8 calibration cache
+    (`int8_calibrator.cpp:82-110` writeCalibrationCache) as JSON."""
+    import json
+    from pathlib import Path
+
+    Path(path).write_text(json.dumps(scales, indent=2, sort_keys=True))
+
+
+def load_calibration(path) -> Dict[str, float]:
+    import json
+    from pathlib import Path
+
+    return {k: float(v) for k, v in
+            json.loads(Path(path).read_text()).items()}
+
+
+def calibrate_or_load(net, frames, cache_path, *, method: str = "entropy"
+                      ) -> Dict[str, float]:
+    """Load cached scales if present, else calibrate and write the cache
+    (the reference node's readCalibrationCache-or-run-batches flow)."""
+    from pathlib import Path
+
+    cache = Path(cache_path)
+    if cache.exists():
+        return load_calibration(cache)
+    scales = calibrate_caffe_net(net, frames, method=method)
+    save_calibration(scales, cache)
+    return scales

@@ -158,3 +158,11 @@ def test_stereo_w8_disparity_close_to_fp32():
     # FP16-class agreement on well-posed inputs (48-px disparity range)
     assert diff.mean() < 0.1
     assert np.percentile(diff, 99) < 1.0
+
+
+def test_calibration_cache_roundtrip(tmp_path):
+    from redtail_tpu.quant.ptq import load_calibration, save_calibration
+
+    scales = {"conv1": 0.0123, "fc": 0.5}
+    save_calibration(scales, tmp_path / "calib.json")
+    assert load_calibration(tmp_path / "calib.json") == scales

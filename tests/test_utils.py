@@ -93,3 +93,13 @@ def test_camera_calibration_synthetic(tmp_path):
     # right ballpark of the ground truth (320)
     assert rms < 15.0
     assert 150 < K[0, 0] < 650
+
+
+def test_setup_logging_levels(capsys):
+    import logging
+
+    from redtail_tpu.utils.logging import setup_logging
+
+    root = setup_logging("warning", {"redtail_tpu.telemetry": "debug"})
+    assert root.level == logging.WARNING
+    assert logging.getLogger("redtail_tpu.telemetry").level == logging.DEBUG
