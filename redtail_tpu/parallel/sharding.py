@@ -62,21 +62,50 @@ def replicate(mesh: Mesh):
     return NamedSharding(mesh, P())
 
 
-def shard_stereo_forward(spec, params, mesh: Mesh):
+def shard_stereo_forward(spec, params, mesh: Mesh, *, mode: str = "image"):
     """jit a stereo forward sharded over the mesh.
 
-    Images are sharded (N over data, H over spatial); params replicated.
-    XLA partitions every conv (with halo exchange on H) and the cost-volume
-    gather; the soft-argmin softmax stays local because D is unsharded.
+    - ``mode='image'``: images sharded (N over data, H over spatial),
+      params replicated. XLA partitions every conv (halo exchange on H)
+      and the cost volume; the soft-argmin softmax stays local because D
+      is unsharded.
+    - ``mode='disparity'``: for the 3D cost-volume models — images
+      replicated over ``spatial``, the cost volume and the whole 3D
+      encoder/decoder sharded along the disparity axis (SURVEY.md §5's
+      "long axis": volume memory/compute scales linearly in D). GSPMD
+      inserts D-halo exchanges for the stride/kernel-3 conv3d chain and
+      the final soft-argmin's softmax normalization becomes the only
+      cross-D collective. This splits the dominant memory (the
+      (D, H, W, 2C) volume) across chips — the reference had no
+      multi-GPU story at all (SURVEY.md §2.4).
     """
     from redtail_tpu.models import stereo_forward
+    from redtail_tpu.models.stereo import (
+        _encode_pair, _volume_head, cost_volume)
 
-    img_s = batch_sharding(mesh)
     rep = replicate(mesh)
+    if mode == "image":
+        img_s = batch_sharding(mesh)
+        return jax.jit(
+            lambda p, l, r: stereo_forward(spec, p, l, r),
+            in_shardings=(rep, img_s, img_s),
+            out_shardings=NamedSharding(mesh, P(DATA_AXIS, SPATIAL_AXIS,
+                                                None)),
+        )
+    if mode != "disparity":
+        raise ValueError(f"unknown sharding mode {mode!r}")
+    if spec.corr:
+        raise ValueError("disparity sharding applies to the 3D "
+                         "cost-volume models")
+    vol_s = NamedSharding(mesh, P(DATA_AXIS, SPATIAL_AXIS))  # (N, D, ...)
+    img_s = NamedSharding(mesh, P(DATA_AXIS))
 
-    fn = jax.jit(
-        lambda p, l, r: stereo_forward(spec, p, l, r),
-        in_shardings=(rep, img_s, img_s),
-        out_shardings=NamedSharding(mesh, P(DATA_AXIS, SPATIAL_AXIS, None)),
-    )
-    return fn
+    def fwd(p, l, r):
+        full_hw = l.shape[1:3]
+        fl, fr, _ = _encode_pair(spec, p, l, r)
+        vol = cost_volume(fl, fr, spec.max_disp)
+        vol = jax.lax.with_sharding_constraint(vol, vol_s)
+        return _volume_head(spec, p, vol, full_hw)
+
+    return jax.jit(fwd, in_shardings=(rep, img_s, img_s),
+                   out_shardings=NamedSharding(mesh, P(DATA_AXIS)))

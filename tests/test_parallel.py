@@ -99,3 +99,17 @@ def test_smooth_l1():
     tgt = jnp.array([0.0, 2.5, 0.0])
     m = smooth_l1_disparity_loss(pred, tgt)
     assert float(m) == pytest.approx((0.0 + 0.5 * 0.25 + 9.5) / 3, rel=1e-5)
+
+
+def test_disparity_sharded_forward_matches():
+    """3D model with the cost volume + 3D stack sharded along D: GSPMD
+    halo-exchanges the conv3d depth windows; output matches unsharded."""
+    spec = dataclasses.replace(STEREO_SPECS["nvtiny"], input_hw=(32, 64),
+                               max_disp=8)  # D=8 over 4 'spatial' shards
+    params = init_stereo_params(spec)
+    left, right = _pair(spec, batch=2)
+    want = np.asarray(stereo_forward(spec, params, left, right))
+    mesh = make_mesh(data=2, spatial=4)
+    fn = shard_stereo_forward(spec, params, mesh, mode="disparity")
+    got = np.asarray(fn(params, left, right))
+    np.testing.assert_allclose(got, want, atol=2e-4)
