@@ -199,12 +199,22 @@ def _encode_pair(spec, params, left, right):
     return fl, fr, conv1
 
 
-def _volume_head(spec, params, vol, full_hw):
-    """3D encoder/decoder + soft-argmin (NVTiny/NVSmall/ResNet-18)."""
+def _volume_head(spec, params, vol, full_hw, *, first_act=None):
+    """3D encoder/decoder + soft-argmin (NVTiny/NVSmall/ResNet-18).
+
+    ``first_act``: precomputed activation of the first 3D layer (the
+    fused cost-volume+conv3d path); when given, ``vol`` is unused and the
+    encoder starts from layer 2."""
     enc3 = params["encoder3D"]
     acts: Dict[str, jnp.ndarray] = {}
-    x = vol
-    for layer in spec.enc3d:
+    layers = spec.enc3d
+    if first_act is not None:
+        acts[layers[0].name] = first_act
+        x = first_act
+        layers = layers[1:]
+    else:
+        x = vol
+    for layer in layers:
         s = (layer.stride,) * 3
         x = elu(conv3d(x, enc3[layer.name]["weights"],
                        enc3[layer.name]["biases"], strides=s))
@@ -273,6 +283,17 @@ def stereo_forward(spec: StereoSpec, params: Params, left, right):
             vol = corr_cost_volume_dlast(fl, fr, spec.max_disp)
             d = softargmax(vol, axis=-1)[..., None]
         return _bneck_head(spec, params, d, conv1_act, full_hw)
+    first = spec.enc3d[0]
+    if first.stride == 1:
+        # Fused cost-volume + first conv3d: the (D, H, W, 2C) volume is
+        # never materialized and the heaviest conv3d factors into a few
+        # conv2d (exact; see ops/fused_cost_volume_conv.py).
+        from redtail_tpu.ops.fused_cost_volume_conv import cost_volume_conv3d
+        p1 = params["encoder3D"][first.name]
+        first_act = elu(cost_volume_conv3d(
+            fl, fr, p1["weights"], p1["biases"], spec.max_disp))
+        return _volume_head(spec, params, None, full_hw,
+                            first_act=first_act)
     vol = cost_volume(fl, fr, spec.max_disp)
     return _volume_head(spec, params, vol, full_hw)
 
