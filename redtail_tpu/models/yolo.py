@@ -89,6 +89,10 @@ def decode(predictions, img_w: int, img_h: int,
             y = min(max(y, 0.0), img_h - 1.0)
             w = min(w, img_w - x)
             h = min(h, img_h - y)
+            if int(w) <= 0 or int(h) <= 0:
+                # zero-area after truncation: the reference's asserts
+                # (`yolo_prediction.h:80-83`) reject these outright
+                continue
             out.append(ObjectPrediction(label, score * max_p,
                                         int(x), int(y), int(w), int(h)))
     return out
@@ -108,7 +112,9 @@ def filter_by_iou(preds: List[ObjectPrediction],
             wi = max(min(b1.x + b1.w - b2.x, b2.x + b2.w - b1.x), 0)
             hi = max(min(b1.y + b1.h - b2.y, b2.y + b2.h - b1.y), 0)
             inter = wi * hi
-            iou = inter / (union - inter)
+            denom = union - inter
+            # decode never emits zero-area boxes, but guard anyway
+            iou = inter / denom if denom > 0 else 1.0
             if iou > iou_threshold:
                 del src[i2]
             else:
