@@ -57,13 +57,13 @@ def main():
         _, ms = lax.scan(body, (l, r), None, length=n)
         return ms.sum()
 
-    n_lo, n_hi = 10, 110
+    n_lo, n_hi = 10, 160
     for n in (n_lo, n_hi):
         float(loop(params, left, right, n))  # compile + warm
 
     def timed(n):
         best = float("inf")
-        for _ in range(3):
+        for _ in range(4):
             t0 = time.perf_counter()
             float(loop(params, left, right, n))
             best = min(best, time.perf_counter() - t0)

@@ -204,13 +204,27 @@ def _conv_nd_transpose(y, w, out_spatial, strides, padding, dim_letters,
 
 
 def conv2d_transpose(y, w, b=None, *, out_spatial, strides=(2, 2),
-                     padding="SAME", accum_dtype=jnp.float32, precision=None):
+                     padding="SAME", accum_dtype=jnp.float32, precision=None,
+                     impl=None):
     """TF `conv2d_transpose`: NHWC activations, HWIO weights (I = output
     channels of the transpose, O = input channels — TF filter convention).
 
     Replaces the reference's `network->addDeconvolution` layers
-    (`tensorrt_model_builder.py:230-288`).
+    (`tensorrt_model_builder.py:230-288`). Auto-selects the sub-pixel
+    'shuffle' impl for tiny output channels on TPU (same rationale as
+    `conv3d_transpose`).
     """
+    c_out = w.shape[2]
+    if impl is None:
+        impl = "shuffle" if (jax.default_backend() == "tpu" and c_out <= 2
+                             and w.shape[:2] == (3, 3)
+                             and tuple(strides) == (2, 2)
+                             and isinstance(padding, str)
+                             and padding.upper() == "SAME") else "dilated"
+    if impl == "shuffle":
+        return conv2d_transpose_shuffle(y, w, b, out_spatial=out_spatial,
+                                        accum_dtype=accum_dtype,
+                                        precision=precision)
     out = _conv_nd_transpose(y, w, tuple(out_spatial), strides, padding, "HW",
                              accum_dtype, precision)
     if b is not None:
@@ -363,6 +377,61 @@ def conv3d_transpose_shuffle(y, w, b=None, *, out_spatial,
     g = weave_dim(1, 1, g)            # weave H: keys (rd,)
     g = weave_dim(0, 0, g)            # weave D: key ()
     out = g[()]
+    if b is not None:
+        out = out + b.astype(out.dtype)
+    return out.astype(y.dtype)
+
+
+def conv2d_transpose_shuffle(y, w, b=None, *, out_spatial,
+                             accum_dtype=jnp.float32, precision=None):
+    """2D analogue of `conv3d_transpose_shuffle`: TF conv2d_transpose
+    (k=3, s=2, SAME) as one k=2 conv2d with 4x output channels + weave.
+    Same per-dim parity derivation; same motivation (XLA's dilated
+    lowering collapses at tiny output channels)."""
+    kh, kw, c_out, c_in = w.shape
+    assert (kh, kw) == (3, 3)
+    los = [tf_same_padding(X, 3, 2)[0] for X in out_spatial]
+
+    def taps(lo, r):
+        if lo == 0:
+            return [2, 0] if r == 0 else [None, 1]
+        return [None, 1] if r == 0 else [2, 0]
+
+    wz = jnp.zeros_like(w[0, 0])
+    parts = []
+    for rh in (0, 1):
+        for rw in (0, 1):
+            block = []
+            for a in (0, 1):
+                ta = taps(los[0], rh)[a]
+                row = []
+                for bx in (0, 1):
+                    tb = taps(los[1], rw)[bx]
+                    row.append(wz if None in (ta, tb) else w[ta, tb])
+                block.append(jnp.stack(row))
+            parts.append(jnp.stack(block))  # (2,2,c_out,c_in)
+    k2 = jnp.stack(parts, axis=2)  # (2,2,4,c_out,c_in)
+    k2 = jnp.transpose(k2, (0, 1, 4, 2, 3)).reshape(2, 2, c_in, 4 * c_out)
+    conv = lax.conv_general_dilated(
+        y, k2, (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=accum_dtype,
+        precision=_precision_for(y, precision))
+    conv = conv.reshape(*conv.shape[:3], 4, c_out)
+    outs = {}
+    idx = 0
+    for rh in (0, 1):
+        for rw in (0, 1):
+            t = conv[..., idx, :]
+            for axis, (r, lo) in enumerate(zip((rh, rw), los)):
+                off = 1 if (lo == 1 and r == 1) else 0
+                t = lax.slice_in_dim(t, off, t.shape[1 + axis],
+                                     axis=1 + axis)
+            outs[(rh, rw)] = t
+            idx += 1
+    hw = _weave_axis(outs[(0, 0)], outs[(0, 1)], 2, out_spatial[1])
+    hw1 = _weave_axis(outs[(1, 0)], outs[(1, 1)], 2, out_spatial[1])
+    out = _weave_axis(hw, hw1, 1, out_spatial[0])
     if b is not None:
         out = out + b.astype(out.dtype)
     return out.astype(y.dtype)
