@@ -40,7 +40,8 @@ def main(argv=None):
     import numpy as np
 
     from redtail_tpu.control import (
-        APMRoverRC, Controller, ControllerConfig, Drone, FcuState, Pose)
+        APMRoverRC, Controller, ControllerConfig, Drone, FcuState,
+        JoyCommand, Pose)
     from redtail_tpu.models import STEREO_SPECS, init_stereo_params
     from redtail_tpu.models.trailnet import load_trailnet
     from redtail_tpu.runtime import NodeGraph, StageProfiler
@@ -70,6 +71,12 @@ def main(argv=None):
     ctl.set_fcu_state(FcuState(mode=vehicle.offboard_mode_name, armed=True))
     ctl.set_pose(Pose())
     ctl.arm()
+    ctl.step()  # Armed -> Takeoff
+    ctl.set_pose(Pose(np.array([0.0, 0.0, 1.5])))
+    ctl.step()  # -> Navigating
+    # no joystick in this composition: enable DNN control directly (the
+    # reference's operator pressed the A button, `joystickCallback:216`)
+    ctl.on_joystick(JoyCommand(dnn_on=True))
 
     # --- graph wiring (everything.launch topology)
     g.add_node("stereo", stereo, ["camera/left", "camera/right"],
@@ -99,6 +106,16 @@ def main(argv=None):
         src_l = SyntheticSource(g.topic("camera/left"), shape, rate_hz=30.0)
     src_r = SyntheticSource(g.topic("camera/right"), shape, rate_hz=30.0,
                             seed=1)
+
+    # --- warm-up: compile every engine BEFORE spinning (the reference
+    # likewise built/loaded its TRT engines before the node loops,
+    # `tensor_net.cpp:194-213`); `--duration` then measures steady state.
+    dummy = np.zeros(shape, np.uint8)
+    t0 = time.monotonic()
+    stereo(dummy, dummy)
+    if trailnet is not None:
+        trailnet(dummy)
+    print(f"engines ready in {time.monotonic() - t0:.1f}s", file=sys.stderr)
 
     g.start()
     src_l.start()
