@@ -80,11 +80,23 @@ def amax_threshold(samples: np.ndarray, percentile: float = 100.0) -> float:
 
 class CalibrationCollector:
     """Accumulates per-tensor activation samples across calibration
-    batches, then yields scales (the calibrator's getBatch loop)."""
+    batches, then yields scales (the calibrator's getBatch loop).
 
-    def __init__(self, method: str = "entropy", max_samples: int = 1 << 20):
+    Methods: ``"entropy"`` (TRT's KL calibration — best on *trained*
+    nets whose activations have heavy-tailed informative outliers),
+    ``"percentile"`` (clip at a high |x| percentile — the robust default
+    for untrained/random-weight nets, where entropy calibration picks
+    degenerate thresholds), ``"max"`` (no clipping).
+    """
+
+    def __init__(self, method: str = "entropy", max_samples: int = 1 << 20,
+                 percentile: float = 99.99):
+        if method not in ("entropy", "percentile", "max"):
+            raise ValueError(f"unknown calibration method {method!r}; "
+                             "expected 'entropy', 'percentile', or 'max'")
         self.method = method
         self.max_samples = max_samples
+        self.percentile = percentile
         self._samples: Dict[str, List[np.ndarray]] = {}
 
     def observe(self, name: str, x) -> None:
@@ -97,8 +109,12 @@ class CalibrationCollector:
         out = {}
         for name, chunks in self._samples.items():
             data = np.concatenate(chunks)
-            t = entropy_threshold(data) if self.method == "entropy" \
-                else amax_threshold(data)
+            if self.method == "entropy":
+                t = entropy_threshold(data)
+            elif self.method == "percentile":
+                t = amax_threshold(data, self.percentile)
+            else:  # "max"
+                t = amax_threshold(data)
             out[name] = max(t, 1e-8) / 127.0
         return out
 
@@ -180,11 +196,16 @@ def quantize_stereo_params_w8(params) -> Dict:
 # ------------------------------------------------ Caffe-graph INT8 path
 
 
-def calibrate_caffe_net(net, frames, *, method: str = "entropy"
-                        ) -> Dict[str, float]:
+def calibrate_caffe_net(net, frames, *, method: str = "entropy",
+                        percentile: float = 99.99) -> Dict[str, float]:
     """Run calibration frames through a `CaffeNet`, collecting input-
-    activation scales for every Convolution/InnerProduct layer."""
-    collector = CalibrationCollector(method=method)
+    activation scales for every Convolution/InnerProduct layer.
+
+    Use ``method="percentile"`` for untrained/random-weight nets (see
+    `CalibrationCollector`); ``"entropy"`` matches the reference's
+    `Int8EntropyCalibrator` and is right for trained models.
+    """
+    collector = CalibrationCollector(method=method, percentile=percentile)
     conv_layers = [(l.get("name"), l.get_all("bottom")[0])
                    for l in net.layers
                    if l.get("type") in ("Convolution", "InnerProduct")]
@@ -268,8 +289,8 @@ def load_calibration(path) -> Dict[str, float]:
             json.loads(Path(path).read_text()).items()}
 
 
-def calibrate_or_load(net, frames, cache_path, *, method: str = "entropy"
-                      ) -> Dict[str, float]:
+def calibrate_or_load(net, frames, cache_path, *, method: str = "entropy",
+                      percentile: float = 99.99) -> Dict[str, float]:
     """Load cached scales if present, else calibrate and write the cache
     (the reference node's readCalibrationCache-or-run-batches flow)."""
     from pathlib import Path
@@ -277,6 +298,7 @@ def calibrate_or_load(net, frames, cache_path, *, method: str = "entropy"
     cache = Path(cache_path)
     if cache.exists():
         return load_calibration(cache)
-    scales = calibrate_caffe_net(net, frames, method=method)
+    scales = calibrate_caffe_net(net, frames, method=method,
+                                 percentile=percentile)
     save_calibration(scales, cache)
     return scales

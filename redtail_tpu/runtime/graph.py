@@ -136,7 +136,9 @@ class Node:
                 self._last_seqs[i] = m.seq
         try:
             result = self.fn(*[m.data for m in msgs])
-        except BaseException as e:  # noqa: BLE001 — node must keep spinning
+        except Exception as e:  # node must keep spinning on stage errors,
+            # but KeyboardInterrupt/SystemExit must propagate out of the
+            # worker thread rather than be swallowed
             self.errors += 1
             self.last_error = e
             return False
@@ -145,20 +147,23 @@ class Node:
             self.output.publish(result, stamp=msgs[0].stamp)
         return True
 
-    def _run(self):
+    def _run(self, stop: threading.Event):
+        # `stop` is captured at thread start: a restart may swap
+        # ``self._stop`` for a fresh event, and a wedged old thread must
+        # keep observing its own (set) event so it can never loop again.
         period = 1.0 / self.max_rate_hz if self.max_rate_hz > 0 else 0.0
-        while not self._stop.is_set():
+        while not stop.is_set():
             t0 = time.monotonic()
             self.last_heartbeat = t0
             did = self.step_once()
             dt = time.monotonic() - t0
             sleep = period - dt if did else min(period, 0.002)
             if sleep > 0:
-                self._stop.wait(sleep)
+                stop.wait(sleep)
 
     def start(self):
         self._thread = threading.Thread(target=self._run, name=self.name,
-                                        daemon=True)
+                                        args=(self._stop,), daemon=True)
         self._thread.start()
 
     def stop(self, timeout: float = 2.0):
@@ -222,9 +227,19 @@ class NodeGraph:
                 if node._thread is not None and node._thread.is_alive()
                 and now - node.last_heartbeat > max_silence_sec]
 
-    def restart_node(self, name: str, timeout: float = 2.0) -> None:
-        """Recovery: stop (best-effort) and restart a node's thread."""
+    def restart_node(self, name: str, timeout: float = 2.0) -> bool:
+        """Recovery: stop, join, and restart a node's thread.
+
+        If the old thread is wedged inside its callable and does not join
+        within ``timeout``, the restart still proceeds — the old thread
+        holds its own (set) stop event (see ``Node._run``) so it exits the
+        moment it unwedges and can never re-enter the loop; at worst it
+        completes the in-flight step (one stale latest-wins publish).
+        Returns True if the old thread joined cleanly.
+        """
         node = self.nodes[name]
         node.stop(timeout)
+        joined = node._thread is None or not node._thread.is_alive()
         node._stop = threading.Event()
         node.start()
+        return joined

@@ -220,8 +220,49 @@ def test_restart_node_recovers():
     try:
         g.topic("in").publish(1)
         assert g.spin_until(lambda: len(seen) == 1, timeout=5)
-        g.restart_node("n")
+        assert g.restart_node("n") is True  # clean join
         g.topic("in").publish(2)
         assert g.spin_until(lambda: len(seen) == 2, timeout=5)
     finally:
+        g.stop()
+
+
+def test_restart_wedged_node_no_double_publisher():
+    """A thread wedged inside its callable must never re-enter the loop
+    after a restart: only the replacement thread keeps consuming, so a
+    topic sees one publisher (the round-1 restart race replaced the stop
+    event and could leave TWO live loops on one output)."""
+    import threading
+
+    g = NodeGraph()
+    release = threading.Event()
+    calls = []
+
+    def fn(x):
+        calls.append(x)
+        if x == "wedge":
+            release.wait(10)
+        return x
+
+    node = g.add_node("n", fn, ["in"], "out", max_rate_hz=500)
+    g.start()
+    try:
+        g.topic("in").publish("wedge")
+        assert g.spin_until(lambda: len(calls) == 1, timeout=5)
+        old_thread = node._thread
+        assert g.restart_node("n", timeout=0.2) is False  # did not join
+        assert node._thread is not old_thread
+        # new thread consumes fresh input while the old one is still wedged
+        g.topic("in").publish("a")
+        assert g.spin_until(lambda: "a" in calls, timeout=5)
+        # unwedge the old thread: it may finish its in-flight step but must
+        # exit without consuming anything new
+        release.set()
+        assert g.spin_until(lambda: not old_thread.is_alive(), timeout=5)
+        n_calls = len(calls)
+        g.topic("in").publish("b")
+        assert g.spin_until(lambda: "b" in calls, timeout=5)
+        assert len(calls) == n_calls + 1  # exactly one consumer
+    finally:
+        release.set()
         g.stop()
