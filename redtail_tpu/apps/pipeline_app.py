@@ -26,7 +26,16 @@ def build_argparser():
     p.add_argument("--trailnet-prototxt")
     p.add_argument("--trailnet-caffemodel")
     p.add_argument("--trailnet-rate", type=float, default=30.0)
-    p.add_argument("--yolo-rate", type=float, default=1.0)
+    p.add_argument("--yolo-prototxt", help="YOLO graph (default: the "
+                   "reference's yolo-relu.prototxt if present)")
+    p.add_argument("--yolo-caffemodel")
+    p.add_argument("--yolo-rate", type=float, default=1.0,
+                   help="object-detection rate in Hz; 0 disables YOLO "
+                   "(everything.launch ran it at 1 Hz)")
+    p.add_argument("--demo-person-stop", type=float, metavar="T", default=None,
+                   help="inject one synthetic person-sized detection into "
+                   "object_dnn/network/output after T seconds, exercising "
+                   "the controller's person-stop interlock live")
     p.add_argument("--control-rate", type=float, default=20.0)
     p.add_argument("--duration", type=float, default=10.0)
     p.add_argument("--vehicle", default="drone",
@@ -45,7 +54,7 @@ def main(argv=None):
     from redtail_tpu.models import STEREO_SPECS, init_stereo_params
     from redtail_tpu.models.trailnet import load_trailnet
     from redtail_tpu.runtime import NodeGraph, StageProfiler
-    from redtail_tpu.runtime.nodes import StereoNode, TrailNetNode
+    from redtail_tpu.runtime.nodes import StereoNode, TrailNetNode, YoloNode
     from redtail_tpu.runtime.sources import SyntheticSource, VideoFileSource
 
     prof = StageProfiler()
@@ -63,6 +72,17 @@ def main(argv=None):
         load_trailnet(args.trailnet_prototxt)
         if args.trailnet_prototxt else None, profiler=prof) \
         if args.trailnet_prototxt or _default_prototxt_exists() else None
+    yolo = None
+    if args.yolo_rate > 0:
+        yolo_proto = args.yolo_prototxt or _default_yolo_prototxt()
+        if yolo_proto:
+            from redtail_tpu.io.caffe import load_caffemodel, load_prototxt
+            from redtail_tpu.models.caffe_net import CaffeNet
+            proto = load_prototxt(yolo_proto)
+            yolo = YoloNode(
+                CaffeNet(proto, load_caffemodel(args.yolo_caffemodel))
+                if args.yolo_caffemodel else CaffeNet(proto, seed=3),
+                profiler=prof)
 
     # --- controller
     vehicle = Drone() if args.vehicle == "drone" else APMRoverRC()
@@ -90,6 +110,18 @@ def main(argv=None):
                    "trails_dnn/network/output",
                    max_rate_hz=args.trailnet_rate)
 
+    if yolo is not None:
+        g.add_node("yolo", yolo, ["camera/left"],
+                   "object_dnn/network/output", max_rate_hz=args.yolo_rate)
+        # Detections route to the controller via the topic, mirroring
+        # px4_controller's objDnnCallback subscription
+        # (`px4_controller.cpp:280-349`, `everything.launch:40-62`).
+        def objstop_stage(dets):
+            ctl.on_objects(dets)
+            return None
+        g.add_node("objstop", objstop_stage, ["object_dnn/network/output"],
+                   None, max_rate_hz=args.control_rate)
+
     def control_stage(_disp):
         with prof.stage("controller"):
             ctl.step()
@@ -115,13 +147,29 @@ def main(argv=None):
     stereo(dummy, dummy)
     if trailnet is not None:
         trailnet(dummy)
+    if yolo is not None:
+        yolo(dummy)
     print(f"engines ready in {time.monotonic() - t0:.1f}s", file=sys.stderr)
 
     g.start()
     src_l.start()
     src_r.start()
     try:
-        time.sleep(args.duration)
+        deadline = time.monotonic() + args.duration
+        injected = False
+        while time.monotonic() < deadline:
+            if (args.demo_person_stop is not None and not injected
+                    and time.monotonic() >= deadline - args.duration
+                    + args.demo_person_stop):
+                # One person-sized detection (class 14, prob 0.95, box
+                # height > 0.5 * 180 px — the interlock thresholds from
+                # `px4_controller.h:115-118`) through the same topic the
+                # real YOLO detections ride.
+                det = np.array([[14.0, 0.95, 160.0, 90.0, 60.0, 120.0]],
+                               np.float32)
+                g.topic("object_dnn/network/output").publish(det)
+                injected = True
+            time.sleep(0.05)
     finally:
         src_l.stop()
         src_r.stop()
@@ -130,12 +178,20 @@ def main(argv=None):
     print(prof.report(), file=sys.stderr)
     stats = {name: node.processed for name, node in g.nodes.items()}
     print(json.dumps({"frames": stats, "ai_score": ctl.ai_score,
+                      "stop_events": ctl.stop_events,
+                      "dnn_active": ctl.use_dnn,
                       "errors": {n: v.errors for n, v in g.nodes.items()}}))
 
 
 def _default_prototxt_exists():
     from redtail_tpu.models.trailnet import DEFAULT_PROTOTXT
     return DEFAULT_PROTOTXT.exists()
+
+
+def _default_yolo_prototxt():
+    from pathlib import Path
+    p = Path("/root/reference/models/pretrained/yolo-relu.prototxt")
+    return p if p.exists() else None
 
 
 if __name__ == "__main__":

@@ -68,10 +68,19 @@ class ImageFileSource(FrameSource):
                  repeat: bool = True):
         paths = [Path(p) for p in (
             paths if isinstance(paths, (list, tuple)) else [paths])]
+        missing = [p for p in paths if not p.is_file()]
+        if missing:
+            raise FileNotFoundError(f"image file(s) not found: {missing}")
 
         def factory():
             import cv2
-            return iter([cv2.imread(str(p)) for p in paths])
+            frames = []
+            for p in paths:
+                img = cv2.imread(str(p))
+                if img is None:
+                    raise RuntimeError(f"could not decode image {p}")
+                frames.append(img)
+            return iter(frames)
 
         super().__init__(topic, factory, rate_hz=rate_hz, repeat=repeat)
 
@@ -81,9 +90,14 @@ class VideoFileSource(FrameSource):
 
     def __init__(self, topic: Topic, path, rate_hz: float = 30.0,
                  repeat: bool = False, start_frame: int = 0):
+        if not Path(path).is_file():
+            raise FileNotFoundError(f"video file not found: {path}")
+
         def factory():
             import cv2
             cap = cv2.VideoCapture(str(path))
+            if not cap.isOpened():
+                raise RuntimeError(f"could not open video {path}")
             if start_frame:
                 cap.set(cv2.CAP_PROP_POS_FRAMES, start_frame)
 
