@@ -69,7 +69,8 @@ def main(argv=None):
         sparams = init_stereo_params(spec)
     stereo = StereoNode(spec, sparams, profiler=prof)
     trailnet = TrailNetNode(
-        load_trailnet(args.trailnet_prototxt)
+        load_trailnet(args.trailnet_prototxt,
+                      caffemodel_path=args.trailnet_caffemodel)
         if args.trailnet_prototxt else None, profiler=prof) \
         if args.trailnet_prototxt or _default_prototxt_exists() else None
     yolo = None

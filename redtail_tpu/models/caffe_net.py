@@ -28,9 +28,13 @@ from redtail_tpu.io.caffe import Msg
 
 
 def _as_pair(param: Msg, base: str):
-    """Caffe's kernel_size/stride/pad fields: scalar, repeated, or _h/_w."""
-    h = param.get(base + "_h")
-    w = param.get(base + "_w")
+    """Caffe's kernel_size/stride/pad fields: scalar, repeated, or _h/_w.
+
+    The anisotropic names drop any ``_size`` suffix (Caffe proto:
+    ``kernel_size`` vs ``kernel_h``/``kernel_w``)."""
+    stem = base[:-5] if base.endswith("_size") else base
+    h = param.get(stem + "_h")
+    w = param.get(stem + "_w")
     if h is not None or w is not None:
         return int(h), int(w)
     vals = param.get_all(base)

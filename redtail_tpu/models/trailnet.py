@@ -66,11 +66,18 @@ def trailnet_predict(net: CaffeNet, image_bgr_255):
 
 
 _BLOCKS = (2, 2, 2, 2)
-_CHANNELS = (32, 64, 128, 256)
+# Shipped SResNet-18 widths (`TrailNet_SResNet-18.prototxt`: conv1
+# num_output 64, res1 64, res2 128, res3 256, res4 512).
+_CHANNELS = (64, 128, 256, 512)
 
 
 def init_trailnet_params(key=None, dtype=jnp.float32) -> Dict:
-    """Random params for the native SResNet-18 (training entry point)."""
+    """Random params for the native SResNet-18 (training entry point).
+
+    The tree matches the shipped topology exactly (conv names =
+    prototxt layer names), so a trained tree exports 1:1 into the
+    reference's Caffe format via `trailnet_proto.native_params_to_blobs`.
+    """
     if key is None:
         key = jax.random.PRNGKey(0)
 
@@ -103,46 +110,74 @@ def init_trailnet_params(key=None, dtype=jnp.float32) -> Dict:
     return params
 
 
-def trailnet_forward(params: Dict, x):
+def trailnet_forward(params: Dict, x, *, return_logits: bool = False):
     """Native SResNet-18 forward: (N, 180, 320, 3) raw 0-255 -> (N, 6).
 
-    Mirrors the prototxt: sub_mean (1/256, -0.5) -> conv1 7x7 s2 + maxpool
-    3x3 s2 -> 4 stages of 2 residual blocks (SReLU activations, stride-2
-    first block per stage from stage 2) -> global avg pool -> fc3/fc3_t ->
-    softmax each -> concat."""
+    ``return_logits``: emit the raw fc3/fc3_t logits (training path —
+    softmax-of-logits loses gradient when the softmax saturates) instead
+    of the serving contract's concatenated probabilities.
+
+    Mirrors the shipped prototxt op for op: sub_mean (1/256, -0.5) ->
+    conv1 7x7 s2 pad 0 -> maxpool 3x3 s2 (Caffe ceil mode) -> 4 stages of
+    2 residual blocks with SReLU (the stride-2 sits on the SECOND conv of
+    each stage's first block, with a 1x1 s2 projection shortcut — see
+    res2_1_2/res2_1_proj in `TrailNet_SResNet-18.prototxt`) -> 10x6 AVE
+    pool (global at 320x180, hardcoded by the reference's generator,
+    `caffe_srelu_resnet.py:80-100`) -> fc3/fc3_t -> softmax each -> concat.
+    """
     from jax import lax
 
     x = jnp.asarray(x)
     x = x * (1.0 / 256.0) - 0.5
 
-    def c2d(p, x, stride=1):
-        # Caffe-style symmetric padding (pad = k//2), matching the shipped
-        # prototxt's Convolution semantics — NOT TF-SAME, whose asymmetric
-        # split shifts boundary pixels for even-size/strided cases.
+    def c2d(p, x, stride=1, pad=None):
+        # Caffe Convolution semantics: explicit symmetric pad (default 0),
+        # floor output dims — NOT TF-SAME, whose asymmetric split shifts
+        # boundary pixels for even-size/strided cases.
         kh, kw = p["w"].shape[:2]
+        ph, pw = (pad, pad) if pad is not None else (kh // 2, kw // 2)
         out = lax.conv_general_dilated(
-            x, p["w"], (stride, stride),
-            [(kh // 2, kh // 2), (kw // 2, kw // 2)],
+            x, p["w"], (stride, stride), [(ph, ph), (pw, pw)],
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.float32)
+            preferred_element_type=jnp.float32,
+            precision=(lax.Precision.HIGHEST
+                       if x.dtype == jnp.float32 else None))
         return (out + p["b"]).astype(x.dtype)
 
-    x = srelu(c2d(params["conv1"], x, 2))
-    x = lax.reduce_window(x, -jnp.inf, lax.max,
-                          (1, 3, 3, 1), (1, 2, 2, 1),
-                          [(0, 0), (0, 1), (0, 1), (0, 0)])
+    def ceil_maxpool(x, k=3, s=2):
+        # Caffe pooling rounds output dims UP; end-pad so reduce_window's
+        # floor arithmetic lands on the same windows.
+        h, w = x.shape[1], x.shape[2]
+        eh = max(0, (math.ceil((h - k) / s)) * s + k - h)
+        ew = max(0, (math.ceil((w - k) / s)) * s + k - w)
+        return lax.reduce_window(x, -jnp.inf, lax.max, (1, k, k, 1),
+                                 (1, s, s, 1),
+                                 [(0, 0), (0, eh), (0, ew), (0, 0)])
+
+    x = srelu(c2d(params["conv1"], x, 2, pad=0))
+    x = ceil_maxpool(x)
     for stage, nblocks in enumerate(_BLOCKS, 1):
         for blk in range(1, nblocks + 1):
             stride = 2 if (stage > 1 and blk == 1) else 1
-            res = srelu(c2d(params[f"res{stage}_{blk}_1"], x, stride))
-            res = c2d(params[f"res{stage}_{blk}_2"], res)
+            res = srelu(c2d(params[f"res{stage}_{blk}_1"], x))
+            res = c2d(params[f"res{stage}_{blk}_2"], res, stride)
             proj = params.get(f"res{stage}_{blk}_proj")
-            shortcut = c2d(proj, x, stride) if proj is not None else x
+            shortcut = c2d(proj, x, stride, pad=0) if proj is not None else x
             x = srelu(res + shortcut)
-    x = jnp.mean(x, axis=(1, 2))  # global average pool
+    # pool_avg: kernel_w 10, kernel_h 6, stride 1 — exactly global at the
+    # canonical input. Guard instead of silently diverging on other sizes.
+    if x.shape[1:3] != (6, 10):
+        raise ValueError(
+            f"trailnet_forward: trunk output {x.shape[1:3]} != (6, 10); "
+            f"the shipped 10x6 AVE pool requires {INPUT_HW} input "
+            "(resize frames first)")
+    x = jnp.mean(x, axis=(1, 2))
     outs = []
     for head in ("fc3", "fc3_t"):
         p = params[head]
         logits = jnp.dot(x, p["w"], preferred_element_type=jnp.float32) + p["b"]
-        outs.append(jax.nn.softmax(logits, axis=-1))
+        outs.append(logits if return_logits
+                    else jax.nn.softmax(logits, axis=-1))
+    if return_logits:
+        return outs[0], outs[1]
     return jnp.concatenate(outs, axis=-1).astype(x.dtype)

@@ -162,13 +162,11 @@ def make_trailnet_train_step(optimizer: Optional[
         optimizer = optax.sgd(1e-3, momentum=0.9)
 
     def logits_fn(params, images):
-        # trailnet_forward emits softmax probs; log(probs) = log_softmax
-        # of the true logits, and log_softmax is idempotent, so feeding
-        # log-probs into the loss (which starts with log_softmax) is
-        # mathematically exact.
-        probs = trailnet_forward(params, images)
-        eps = 1e-30
-        return jnp.log(probs[:, :3] + eps), jnp.log(probs[:, 3:] + eps)
+        # True logits, not log(probs): when the softmax saturates (deep
+        # un-normalized net at init), probs underflow to exact 0 and
+        # log(probs+eps) has zero gradient — CE on logits keeps the
+        # grad = (p - onehot) signal alive.
+        return trailnet_forward(params, images, return_logits=True)
 
     def loss_fn(params, images, rot_labels, off_labels):
         lg_rot, lg_off = logits_fn(params, images)

@@ -282,3 +282,104 @@ def test_trailnet_prototxt_emitter_roundtrip():
     want = np.asarray(trailnet_forward(params, frame[None]))
     got = np.asarray(net(frame))
     np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+@requires_reference
+def test_trailnet_prototxt_matches_shipped_topology():
+    """The emitted prototxt must be layer-for-layer identical to the
+    reference's shipped SResNet-18 (names, types, wiring, conv/pool
+    geometry) so natively trained weights are drop-in for the Caffe/TRT
+    toolchain. Gold: the trainer-generator output
+    (`models/nets/ResNet/TrailNet_SResNet-18.prototxt`), whose deploy
+    portion carries the 10x6 AVE pool; the `models/pretrained` copy is
+    identical except its pool_avg kernel (3x3 s1), an upstream
+    inconsistency with its own generator."""
+    from redtail_tpu.io.caffe import load_prototxt, parse_prototxt
+    from redtail_tpu.models.trailnet_proto import emit_trailnet_prototxt
+
+    def structure(msg, *, skip_train=True):
+        rows = []
+        for l in msg.get_all("layer"):
+            if skip_train and any(inc.get("phase") == "TRAIN"
+                                  for inc in l.get_all("include")):
+                continue
+            t = l.get("type")
+            if t in ("Python", "SoftmaxWithLoss", "Accuracy", "Data",
+                     "Input"):
+                continue  # train-rig layers absent from a deploy graph
+            row = {"name": l.get("name"), "type": t,
+                   "bottom": tuple(l.get_all("bottom")),
+                   "top": tuple(l.get_all("top"))}
+            if t == "Convolution":
+                p = l.get("convolution_param")
+                row["geom"] = (int(p.get("num_output")),
+                               _pair(p, "kernel_size"), _pair(p, "stride", 1),
+                               _pair(p, "pad", 0))
+            if t == "Pooling":
+                p = l.get("pooling_param")
+                row["geom"] = (p.get("pool"), _pair(p, "kernel_size"),
+                               _pair(p, "stride", 1), _pair(p, "pad", 0))
+            if t == "InnerProduct":
+                row["geom"] = int(l.get("inner_product_param")
+                                  .get("num_output"))
+            rows.append(row)
+        return rows
+
+    def _pair(p, base, default=None):
+        from redtail_tpu.models.caffe_net import _as_pair
+        got = _as_pair(p, base)
+        return got if got is not None else (default, default)
+
+    shipped = structure(load_prototxt(
+        REFERENCE / "models/nets/ResNet/TrailNet_SResNet-18.prototxt"))
+    # the training graph names its input via the data/aug stack; align on
+    # the first real layer instead (sub_mean's bottom differs)
+    emitted = structure(parse_prototxt(emit_trailnet_prototxt()))
+    assert [r["name"] for r in emitted] == [r["name"] for r in shipped]
+    for e, s in zip(emitted, shipped):
+        assert e["type"] == s["type"], (e, s)
+        assert e.get("geom") == s.get("geom"), (e, s)
+        if s["name"] != "sub_mean":  # train rig feeds sub_mean from aug
+            assert e["bottom"] == s["bottom"], (e, s)
+            assert e["top"] == s["top"], (e, s)
+
+
+def test_trailnet_train_export_serve_roundtrip(tmp_path):
+    """Train the native net a few steps, export to a .caffemodel via the
+    emitted prototxt, serve through the CaffeNet interpreter, and match
+    the native forward — the train->export->serve contract the reference
+    achieved with Caffe/DIGITS + NvCaffeParser."""
+    import jax
+    import jax.numpy as jnp
+
+    from redtail_tpu.io.caffe import (load_caffemodel, parse_prototxt,
+                                      write_caffemodel)
+    from redtail_tpu.models.trailnet_proto import (
+        emit_trailnet_prototxt, native_params_to_blobs)
+    from redtail_tpu.training.trailnet import make_trailnet_train_step
+
+    import optax
+
+    params = init_trailnet_params(jax.random.PRNGKey(0))
+    init_fn, step = make_trailnet_train_step(optax.adam(1e-4),
+                                             augment=False)
+    state = init_fn(params)
+    rs = np.random.RandomState(0)
+    images = jnp.asarray(rs.randint(0, 256, (2, 180, 320, 3))
+                         .astype(np.float32))
+    rot = jnp.asarray([0, 2])
+    off = jnp.asarray([1, 0])
+    losses = []
+    for i in range(8):
+        state, metrics = step(state, jax.random.PRNGKey(i), images, rot, off)
+        losses.append(float(metrics["loss"]))
+    assert losses[-1] < losses[0]  # it learns the toy batch
+
+    path = tmp_path / "trained.caffemodel"
+    path.write_bytes(write_caffemodel(native_params_to_blobs(state.params)))
+    net = CaffeNet(parse_prototxt(emit_trailnet_prototxt()),
+                   weights=load_caffemodel(path))
+    frame = rs.randint(0, 256, (180, 320, 3)).astype(np.float32)
+    want = np.asarray(trailnet_forward(state.params, frame[None]))
+    got = np.asarray(net(frame))
+    np.testing.assert_allclose(got, want, atol=2e-5)
