@@ -39,8 +39,17 @@ def build_argparser():
     p.add_argument("--out", default="disp", help="output path stem")
     p.add_argument("--dtype", default="fp32", choices=["fp32", "bf16"],
                    help="compute dtype (bf16 = the TPU fp16 path)")
+    p.add_argument("--quantize", choices=["w8", "int8"],
+                   help="w8: weight-only int8 (dequant at load); int8: "
+                   "calibrated int8 activations for the 2D conv stacks "
+                   "(the reference's INT8 engine mode), calibrated on "
+                   "the input pair itself")
     p.add_argument("--profile", action="store_true",
                    help="print per-stage times (IProfiler equivalent)")
+    p.add_argument("--profile-layers", action="store_true",
+                   help="print the per-layer ms table (each spec layer "
+                   "re-jitted in isolation and timed on-device — the "
+                   "reference's printLayerTimes, main.cpp:52-81)")
     p.add_argument("--no-cache", action="store_true",
                    help="disable the persistent compilation cache")
     return p
@@ -90,12 +99,47 @@ def main(argv=None):
             left = left.astype(jnp.bfloat16)
             right = right.astype(jnp.bfloat16)
 
+    if args.quantize == "int8":
+        from redtail_tpu.quant import (calibrate_stereo,
+                                       quantize_stereo_params_int8)
+        with prof.stage("calibrate"):
+            scales = calibrate_stereo(
+                spec, params, [(np.asarray(left[0]), np.asarray(right[0]))])
+            params = quantize_stereo_params_int8(params, scales)
+    elif args.quantize == "w8":
+        from redtail_tpu.quant import quantize_stereo_params_w8
+        from redtail_tpu.quant.ptq import dequantize
+        qp = quantize_stereo_params_w8(params)
+
+        def dq(node):
+            out = {}
+            for k, v in node.items():
+                if isinstance(v, dict) and "weights_q" in v:
+                    out[k] = {"weights": jnp.asarray(dequantize(
+                        np.asarray(v["weights_q"]), np.asarray(v["w_scale"]))
+                        ).astype(jnp.bfloat16 if args.dtype == "bf16"
+                                 else jnp.float32),
+                        "biases": v["biases"]}
+                elif isinstance(v, dict):
+                    out[k] = dq(v)
+                else:
+                    out[k] = v
+            return out
+        params = dq(qp)
+
     fn = jax.jit(lambda p, l, r: stereo_forward(spec, p, l, r))
     with prof.stage("compile"):
         compiled = fn.lower(params, left, right).compile()
     with prof.stage("execute"):
         disp = np.asarray(compiled(params, left, right),
                           np.float32)[0]  # (H, W)
+
+    if args.profile_layers:
+        from redtail_tpu.runtime.layer_profiler import (
+            format_layer_table, profile_stereo_layers)
+        with prof.stage("profile_layers"):
+            rows, e2e = profile_stereo_layers(spec, params, left, right)
+        print(format_layer_table(rows, e2e), file=sys.stderr)
 
     out = Path(args.out)
     write_bin(disp, out.with_suffix(".bin"))

@@ -157,8 +157,26 @@ STEREO_SPECS: Dict[str, StereoSpec] = {
 # ------------------------------------------------------------- forward
 
 
+# Calibration hook: when set, every _c2d reports (leaf_dict, input) —
+# used by quant.stereo_int8 to collect activation histograms without a
+# second forward implementation. None in production (zero overhead).
+_conv_tap = None
+
+
 def _c2d(p, x, *, stride=1, act=None):
-    out = conv2d(x, p["weights"], p["biases"], strides=(stride, stride))
+    if _conv_tap is not None:
+        _conv_tap(p, x)
+    if "weights_q" in p:
+        # INT8-activation leaf (quant.stereo_int8): int8 x int8 -> int32
+        # on the MXU, dequant fused into the output — the TensorRT INT8
+        # engine mode for the 2D conv stack (`tensor_net.cpp:92-119`).
+        from redtail_tpu.quant.ptq import conv2d_int8, quantize_act
+        out = conv2d_int8(
+            quantize_act(x, p["x_scale"]), p["weights_q"],
+            x_scale=p["x_scale"], w_scale=p["w_scale"], bias=p["biases"],
+            strides=(stride, stride), padding="SAME", out_dtype=x.dtype)
+    else:
+        out = conv2d(x, p["weights"], p["biases"], strides=(stride, stride))
     return elu(out) if act == "elu" else out
 
 

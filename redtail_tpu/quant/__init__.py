@@ -7,6 +7,11 @@ symmetric per-channel weight quantization, and int8 matmul/conv execution
 on the MXU (int8 x int8 -> int32 accumulate).
 """
 
+from redtail_tpu.quant.stereo_int8 import (
+    calibrate_stereo,
+    int8_layer_paths,
+    quantize_stereo_params_int8,
+)
 from redtail_tpu.quant.ptq import (
     CalibrationCollector,
     amax_threshold,
@@ -37,4 +42,7 @@ __all__ = [
     "calibrate_or_load",
     "save_calibration",
     "load_calibration",
+    "calibrate_stereo",
+    "quantize_stereo_params_int8",
+    "int8_layer_paths",
 ]

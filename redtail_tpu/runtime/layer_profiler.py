@@ -1,0 +1,235 @@
+"""Per-layer cost profiler for the stereo model zoo.
+
+The reference printed a per-layer ms table from TensorRT's `IProfiler`
+(`sample_app/main.cpp:52-81,302-312`, `tensor_net.cpp:34-52`). XLA
+compiles the whole network into one fused program, so layer times cannot
+be observed from inside a run; instead each spec layer is re-jitted in
+isolation on its *real* input activations and timed on-device.
+
+Timing method (same as bench.py): a `lax.scan` whose carry threads an
+epsilon of each layer output back into the inputs forces strict
+iteration-by-iteration execution (host-side timing over the device
+tunnel is meaningless), and two loop lengths cancel the host round-trip.
+
+Because isolated layers lose XLA's cross-layer fusion, the per-layer sum
+is an upper bound of the fused end-to-end time; both are reported.
+`stereo_layer_plan` rebuilds the forward pass layer by layer and the
+profiler asserts its composed output matches `stereo_forward` exactly,
+so the table cannot silently drift from the real model.
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import Callable, List, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+
+class LayerTime(NamedTuple):
+    name: str
+    ms: float
+    out_shape: Tuple[int, ...]
+
+
+def stereo_layer_plan(spec, params, left, right):
+    """Execute the network layer by layer, returning
+    ``(entries, output)`` where ``entries`` is an ordered list of
+    ``(name, fn, args)`` — running ``fn(*args)`` for each reproduces
+    `stereo_forward(spec, params, left, right)` exactly.
+    """
+    from redtail_tpu.models import stereo as S
+    from redtail_tpu.ops import (conv2d_transpose, conv3d, conv3d_transpose,
+                                 cost_volume, elu, sigmoid, softargmax,
+                                 softargmin)
+    from redtail_tpu.ops.cost_volume import corr_cost_volume_dlast
+    from redtail_tpu.ops.fused_cost_volume_conv import cost_volume_conv3d
+
+    entries: List[Tuple[str, Callable, tuple]] = []
+
+    def run(name, fn, *args):
+        out = fn(*args)
+        entries.append((name, fn, args, tuple(out.shape)))
+        return out
+
+    enc = params["encoder2D"]
+
+    def tower(tag, img):
+        x = run(f"{tag}_conv1",
+                lambda a: S._c2d(enc["conv1"], a, stride=2, act="elu"), img)
+        conv1 = x
+        if spec.encoder2d == "plain":
+            for l in ("conv2", "conv3", "conv4"):
+                x = run(f"{tag}_{l}",
+                        lambda a, l=l: S._c2d(enc[l], a, act="elu"), x)
+            x = run(f"{tag}_conv5", lambda a: S._c2d(enc["conv5"], a), x)
+            return x, conv1
+        for i in range(1, 9):
+            blk = enc[f"resblock{i}"]
+
+            def block(a, blk=blk):
+                y = S._c2d(blk["res_conv1"], a, act="elu")
+                y = S._c2d(blk["res_conv2"], y)
+                return elu(y + a)
+
+            x = run(f"{tag}_resblock{i}", block, x)
+        x = run(f"{tag}_encoder2D_out",
+                lambda a: S._c2d(enc["encoder2D_out"], a), x)
+        return x, conv1
+
+    fl, conv1 = tower("left", left)
+    fr, _ = tower("right", right)
+    full_hw = tuple(left.shape[1:3])
+
+    if spec.corr:
+        vol = run("corr_cost_volume",
+                  lambda a, b: corr_cost_volume_dlast(a, b, spec.max_disp),
+                  fl, fr)
+        d = run("softargmax",
+                lambda v: softargmax(v, axis=-1)[..., None], vol)
+        x = run("concat_conv1",
+                lambda c, dd: jnp.concatenate([c, dd.astype(c.dtype)], -1),
+                conv1, d)
+        acts = {}
+        benc = params["bneck_encoder2D"]
+        for name, _oc, stride in spec.bneck_channels:
+            x = run(name, lambda a, name=name, stride=stride:
+                    S._c2d(benc[name], a, stride=stride, act="elu"), x)
+            acts[name] = x
+        bdec = params["bneck_decoder2D"]
+        for name, _oc, skip in spec.bneck_dec:
+            p = bdec[name]
+            if skip is not None:
+                target = tuple(acts[skip].shape[1:3])
+                x = run(name, lambda a, sk, p=p, target=target:
+                        elu(conv2d_transpose(
+                            a, p["weights"], p["biases"],
+                            out_spatial=target, strides=(2, 2)) + sk),
+                        x, acts[skip])
+            else:
+                x = run(name, lambda a, p=p, target=full_hw:
+                        conv2d_transpose(a, p["weights"], p["biases"],
+                                         out_spatial=target, strides=(2, 2)),
+                        x)
+        out = run("sigmoid", lambda a: sigmoid(a)[..., 0], x)
+        return entries, out
+
+    enc3 = params["encoder3D"]
+    layers = spec.enc3d
+    acts = {}
+    first = layers[0]
+    if first.stride == 1:
+        p1 = enc3[first.name]
+        x = run(f"cost_volume+{first.name}",
+                lambda a, b: elu(cost_volume_conv3d(
+                    a, b, p1["weights"], p1["biases"], spec.max_disp)),
+                fl, fr)
+        acts[first.name] = x
+        layers = layers[1:]
+    else:
+        x = run("cost_volume",
+                lambda a, b: cost_volume(a, b, spec.max_disp), fl, fr)
+    for layer in layers:
+        s = (layer.stride,) * 3
+        x = run(layer.name, lambda a, layer=layer, s=s:
+                elu(conv3d(a, enc3[layer.name]["weights"],
+                           enc3[layer.name]["biases"], strides=s)), x)
+        acts[layer.name] = x
+    dec3 = params["decoder3D"]
+    for name, _oc, skip in spec.dec3d:
+        p = dec3[name]
+        if skip is not None:
+            target = tuple(acts[skip].shape[1:4])
+            x = run(name, lambda a, sk, p=p, target=target:
+                    elu(conv3d_transpose(a, p["weights"], p["biases"],
+                                         out_spatial=target,
+                                         strides=(2, 2, 2)) + sk),
+                    x, acts[skip])
+        else:
+            target = (spec.full_max_disp,) + full_hw
+            x = run(name, lambda a, p=p, target=target:
+                    conv3d_transpose(a, p["weights"], p["biases"],
+                                     out_spatial=target, strides=(2, 2, 2)),
+                    x)
+    out = run("softargmin", lambda a: softargmin(a, axis=1)[..., 0], x)
+    return entries, out
+
+
+def device_time_fn(fn, args, *, n_lo=5, n_hi=35, reps=3) -> float:
+    """Sustained per-call seconds of ``fn(*args)`` on-device, measured by
+    the chained-scan / two-length method (see module docstring)."""
+
+    @partial(jax.jit, static_argnums=1)
+    def loop(args, n):
+        def body(carry, _):
+            out = fn(*carry)
+            eps = jnp.mean(out) * 1e-30
+
+            def bump(a):  # thread the dependency through float leaves only
+                if jnp.issubdtype(a.dtype, jnp.floating):
+                    return a + eps.astype(a.dtype)
+                return a
+            return jax.tree_util.tree_map(bump, carry), jnp.mean(out)
+        _, ms = lax.scan(body, args, None, length=n)
+        return ms.sum()
+
+    for n in (n_lo, n_hi):
+        float(loop(args, n))  # compile + warm
+
+    def timed(n):
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            float(loop(args, n))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    return (timed(n_hi) - timed(n_lo)) / (n_hi - n_lo)
+
+
+def profile_stereo_layers(spec, params, left, right, *, n_lo=5, n_hi=35,
+                          reps=3, check=True):
+    """Time every spec layer in isolation on its real activations.
+
+    Returns ``(rows, e2e_seconds)`` — rows are `LayerTime`, unsorted
+    (network order); ``e2e_seconds`` is the fused full-model time by the
+    same method.
+    """
+    from redtail_tpu.models import stereo_forward
+
+    entries, out = stereo_layer_plan(spec, params, left, right)
+    if check:
+        want = np.asarray(stereo_forward(spec, params, left, right),
+                          np.float32)
+        got = np.asarray(out, np.float32)
+        err = float(np.max(np.abs(want - got)))
+        tol = 1e-2 if left.dtype == jnp.bfloat16 else 1e-4
+        assert err <= tol, (
+            f"layer plan diverged from stereo_forward (max err {err})")
+
+    rows = []
+    for name, fn, args, out_shape in entries:
+        sec = device_time_fn(fn, args, n_lo=n_lo, n_hi=n_hi, reps=reps)
+        rows.append(LayerTime(name, sec * 1e3, out_shape))
+
+    e2e = device_time_fn(
+        lambda l, r: stereo_forward(spec, params, l, r), (left, right),
+        n_lo=n_lo, n_hi=n_hi, reps=reps)
+    return rows, e2e
+
+
+def format_layer_table(rows: List[LayerTime], e2e_seconds: float) -> str:
+    """The reference's layer-time table (`main.cpp:52-81`), descending."""
+    total = sum(r.ms for r in rows)
+    lines = [f"{'layer':<28s} {'ms':>9s} {'%':>6s}  output"]
+    for r in sorted(rows, key=lambda r: -r.ms):
+        lines.append(f"{r.name:<28s} {r.ms:9.3f} {100 * r.ms / total:6.1f}"
+                     f"  {r.out_shape}")
+    lines.append(f"{'sum of layers':<28s} {total:9.3f}")
+    lines.append(f"{'end-to-end (fused)':<28s} {e2e_seconds * 1e3:9.3f}"
+                 "   (XLA cross-layer fusion: e2e <= sum)")
+    return "\n".join(lines)

@@ -26,17 +26,37 @@ class StereoNode:
 
     def __init__(self, spec, params, *, dtype=jnp.bfloat16,
                  quantize: Optional[str] = None,
+                 calib_frames=None,
                  profiler: Optional[StageProfiler] = None):
         """``quantize='w8'`` stores conv weights as per-channel int8 and
         dequantizes once at load — the weight-only rung of the reference's
         FP32/FP16/INT8 ladder (4x smaller weights at rest; accuracy gated
-        in tests against the fp32 path)."""
+        in tests against the fp32 path). ``quantize='int8'`` additionally
+        runs the 2D conv stacks as calibrated int8 x int8 -> int32 on the
+        MXU (the reference's INT8 engine mode, `tensor_net.cpp:92-119`);
+        supply ``calib_frames`` as (left, right) uint8 BGR pairs — they
+        are preprocessed exactly like serving inputs."""
         from redtail_tpu.models import stereo_forward
 
         self.spec = spec
         self.profiler = profiler or StageProfiler()
         h, w = spec.input_hw
-        if quantize == "w8":
+        if quantize == "int8":
+            from redtail_tpu.quant.stereo_int8 import (
+                calibrate_stereo, quantize_stereo_params_int8)
+            if not calib_frames:
+                raise ValueError("quantize='int8' requires calib_frames")
+
+            def prep_np(x):
+                x = np.asarray(x, np.float32)
+                if x.shape[:2] != (h, w):
+                    x = np.asarray(jax.image.resize(
+                        jnp.asarray(x), (h, w, 3), "bilinear"))
+                return x[..., ::-1] / 255.0  # BGR->RGB, [0,1]
+            pairs = [(prep_np(l), prep_np(r)) for l, r in calib_frames]
+            scales = calibrate_stereo(spec, params, pairs)
+            params = quantize_stereo_params_int8(params, scales)
+        elif quantize == "w8":
             from redtail_tpu.quant import quantize_stereo_params_w8
             from redtail_tpu.quant.ptq import dequantize
             qp = quantize_stereo_params_w8(params)
@@ -57,8 +77,20 @@ class StereoNode:
             params = dq(qp)
         elif quantize is not None:
             raise ValueError(f"unknown quantize mode {quantize!r}")
-        params = jax.tree_util.tree_map(lambda a: jnp.asarray(a, dtype),
-                                        params)
+
+        def cast_tree(node):
+            out = {}
+            for k, v in node.items():
+                if isinstance(v, dict):
+                    out[k] = cast_tree(v)
+                elif k == "weights_q":
+                    out[k] = jnp.asarray(v)          # int8 stays int8
+                elif k in ("w_scale", "x_scale"):
+                    out[k] = jnp.asarray(v, jnp.float32)  # exact dequant
+                else:
+                    out[k] = jnp.asarray(v, dtype)
+            return out
+        params = cast_tree(params)
 
         def run(params, left_u8, right_u8):
             def prep(x):

@@ -113,3 +113,26 @@ def test_disparity_sharded_forward_matches():
     fn = shard_stereo_forward(spec, params, mesh, mode="disparity")
     got = np.asarray(fn(params, left, right))
     np.testing.assert_allclose(got, want, atol=2e-4)
+
+
+@pytest.mark.skipif(__import__("os").environ.get("REDTAIL_RUN_SLOW") != "1",
+                    reason="slow full-res sharding gate "
+                    "(set REDTAIL_RUN_SLOW=1)")
+def test_disparity_sharded_full_res_nvsmall_matches():
+    """GSPMD halo correctness at the REAL NVSmall shapes (1025x321,
+    D=48): the (D, H, W, 2C) volume and 3D stack sharded 4-way along D on
+    the virtual mesh must match the unsharded forward. Toy shapes
+    (above) exercise the wiring; this gates the halo arithmetic at the
+    shipped geometry, where stride-2 D-downsampling and the asymmetric
+    TF-SAME depth pads hit every edge case."""
+    spec = STEREO_SPECS["nvsmall"]
+    params = init_stereo_params(spec)
+    left, right = _pair(spec, batch=1)
+    # jit the reference too: the eager forward materializes every
+    # full-res intermediate (~100 GB) and aborts the CPU runtime
+    want = np.asarray(jax.jit(
+        lambda p, l, r: stereo_forward(spec, p, l, r))(params, left, right))
+    mesh = make_mesh(data=1, spatial=8)  # D=48 sharded 8-way
+    fn = shard_stereo_forward(spec, params, mesh, mode="disparity")
+    got = np.asarray(fn(params, left, right))
+    np.testing.assert_allclose(got, want, atol=2e-4)

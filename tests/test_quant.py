@@ -163,6 +163,67 @@ def test_stereo_w8_disparity_close_to_fp32():
     assert np.percentile(diff, 99) < 1.0
 
 
+def test_stereo_int8_forward_small():
+    """INT8-activation stereo path at toy shapes: the 2D conv stacks run
+    int8 x int8 -> int32 through the SAME stereo_forward (leaf dispatch),
+    and the output stays close to fp32 on random weights."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from redtail_tpu.models import (STEREO_SPECS, init_stereo_params,
+                                    stereo_forward)
+    from redtail_tpu.quant.stereo_int8 import (
+        calibrate_stereo, int8_layer_paths, quantize_stereo_params_int8)
+
+    rs = np.random.RandomState(0)
+    for model in ("nvtiny", "resnet18_2d"):
+        spec = dataclasses.replace(STEREO_SPECS[model], input_hw=(32, 64),
+                                   max_disp=4)
+        params = init_stereo_params(spec)
+        frames = [(rs.rand(32, 64, 3).astype(np.float32),
+                   rs.rand(32, 64, 3).astype(np.float32)) for _ in range(2)]
+        scales = calibrate_stereo(spec, params, frames)
+        assert set(scales) == set(int8_layer_paths(params))
+        qparams = quantize_stereo_params_int8(params, scales)
+        l = jnp.asarray(frames[0][0])[None]
+        r = jnp.asarray(frames[0][1])[None]
+        d_fp = np.asarray(stereo_forward(spec, params, l, r))
+        d_q = np.asarray(stereo_forward(spec, qparams, l, r))
+        scale = 1.0 if spec.corr else spec.full_max_disp  # comparable units
+        diff = np.abs(d_fp - d_q) / scale
+        assert diff.mean() < 0.05, (model, diff.mean())
+
+
+@requires_reference
+def test_stereo_int8_disparity_close_to_fp32():
+    """Full INT8-activation serving (StereoNode quantize='int8') on real
+    NVTiny weights, calibrated on the real stereo pair: the reference
+    gated INT8 nodes at 0.1 (`caffe_ros/tests/tests.cpp:337`); disparity
+    equivalent here is ~1 px-scale agreement on a 48-px range."""
+    import jax.numpy as jnp
+
+    from redtail_tpu.models import STEREO_SPECS, load_stereo_params
+    from redtail_tpu.runtime.nodes import StereoNode
+
+    cv2 = pytest.importorskip("cv2")
+    spec = STEREO_SPECS["nvtiny"]
+    params = load_stereo_params(
+        REFERENCE / "stereoDNN/models/NVTiny/TensorFlow/"
+        "model-inference-513x161-0")
+    samples = REFERENCE / "stereoDNN/sample_app/data"
+    frame_l = cv2.imread(str(samples / "img_left.png"))
+    frame_r = cv2.imread(str(samples / "img_right.png"))
+    fp32 = StereoNode(spec, params, dtype=jnp.float32)
+    i8 = StereoNode(spec, params, dtype=jnp.float32, quantize="int8",
+                    calib_frames=[(frame_l, frame_r)])
+    d_fp = fp32(frame_l, frame_r)
+    d_i8 = i8(frame_l, frame_r)
+    diff = np.abs(d_fp - d_i8)
+    assert diff.mean() < 0.5
+    assert np.percentile(diff, 99) < 3.0
+
+
 def test_calibration_cache_roundtrip(tmp_path):
     from redtail_tpu.quant.ptq import load_calibration, save_calibration
 
