@@ -23,6 +23,7 @@ from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 
@@ -240,20 +241,32 @@ def conv3d_transpose(y, w, b=None, *, out_spatial, strides=(2, 2, 2),
     Replaces `Conv3DTransposePlugin` + `SlicePlugin`
     (`stereoDNN/lib/conv3d_transpose_plugin.cpp`, `slice_plugin.cpp`).
 
-    ``impl``: 'dilated' (one lhs-dilated conv) or 'shuffle' (sub-pixel
-    parity decomposition, `conv3d_transpose_shuffle`). Measured on a v5e
-    at NVSmall shapes: shuffle halves the 32->1 full-res deconv (26.2 ->
-    12.9 ms — XLA's dilated lowering collapses at tiny output channels)
-    but is 4.6x SLOWER at 64->32; auto picks shuffle only for c_out <= 2
-    on TPU with k=3/s=2/SAME.
+    ``impl``: 'dilated' (one lhs-dilated conv), 'shuffle' (sub-pixel
+    parity decomposition, `conv3d_transpose_shuffle`) or 'dfold'
+    (D folded into channels, `conv3d_transpose_dfold`). Measured on a
+    v5e at NVSmall shapes (strict chained latency): the 32->1 full-res
+    deconv3D_3 runs 26.2 ms dilated, 20.4 ms shuffle, 9.4 ms dfold —
+    XLA's dilated lowering collapses at tiny output channels, and the
+    shuffle form still fills only 8 of 128 MXU lanes; dfold fills them
+    all. At 64->32 (deconv3D_2) BOTH decompositions lose badly
+    (dilated 3.4 / shuffle 29.3 / dfold 35.2 ms). Auto picks dfold for
+    c_out == 1, shuffle for c_out == 2, dilated otherwise (TPU,
+    k=3/s=2/SAME only).
     """
     c_out = w.shape[3]
     if impl is None:
-        impl = "shuffle" if (jax.default_backend() == "tpu" and c_out <= 2
-                             and w.shape[:3] == (3, 3, 3)
-                             and tuple(strides) == (2, 2, 2)
-                             and isinstance(padding, str)
-                             and padding.upper() == "SAME") else "dilated"
+        decomposable = (jax.default_backend() == "tpu"
+                        and w.shape[:3] == (3, 3, 3)
+                        and tuple(strides) == (2, 2, 2)
+                        and isinstance(padding, str)
+                        and padding.upper() == "SAME")
+        impl = ("dfold" if c_out == 1 else
+                "shuffle" if c_out == 2 else
+                "dilated") if decomposable else "dilated"
+    if impl == "dfold":
+        return conv3d_transpose_dfold(y, w, b, out_spatial=out_spatial,
+                                      accum_dtype=accum_dtype,
+                                      precision=precision)
     if impl == "shuffle":
         return conv3d_transpose_shuffle(y, w, b, out_spatial=out_spatial,
                                         accum_dtype=accum_dtype,
@@ -377,6 +390,80 @@ def conv3d_transpose_shuffle(y, w, b=None, *, out_spatial,
     g = weave_dim(1, 1, g)            # weave H: keys (rd,)
     g = weave_dim(0, 0, g)            # weave D: key ()
     out = g[()]
+    if b is not None:
+        out = out + b.astype(out.dtype)
+    return out.astype(y.dtype)
+
+
+def conv3d_transpose_dfold(y, w, b=None, *, out_spatial,
+                           accum_dtype=jnp.float32, precision=None):
+    """TF conv3d_transpose (k=3, s=2, SAME) with the D axis folded into
+    channels: ONE k=2 conv2d whose output channels enumerate
+    (H-parity, W-parity, d_out, c_out) and whose input channels are
+    (d_in, c_in), with the D-dim deposit relation o = 2 i - lo + t baked
+    into a block-banded (mostly zero) weight matrix. Exact.
+
+    Why: the shuffle form (`conv3d_transpose_shuffle`) fixes the dilated
+    lowering but still emits only 8 x c_out output channels — for the
+    models' final 32->1 full-res deconvs that is 8 of 128 MXU lanes
+    (~6% ceiling; measured 20.4 ms for NVSmall's deconv3D_3). Folding
+    D_out into the output channels fills the lanes completely; the
+    banded zeros cost ~(D/1.5)x redundant FLOPs, which is the right
+    trade exactly when c_out is tiny. Auto-selected for c_out == 1.
+    """
+    kd, kh, kw, c_out, c_in = w.shape
+    assert (kd, kh, kw) == (3, 3, 3), "dfold impl assumes k=3"
+    d_out_n, h_out, w_out = out_spatial
+    n, d_in_n, h_in, w_in, c = y.shape
+    lo_d, lo_h, lo_w = [tf_same_padding(X, 3, 2)[0] for X in out_spatial]
+
+    # D banding (host constant): B[t, i, o] = [o == 2 i - lo_d + t] — the
+    # transposed-conv deposit relation along D.
+    t_idx = np.arange(3)[:, None, None]
+    i_idx = np.arange(d_in_n)[None, :, None]
+    o_idx = np.arange(d_out_n)[None, None, :]
+    band = (o_idx == 2 * i_idx - lo_d + t_idx)
+
+    def taps(lo, r):  # same per-dim parity taps as the shuffle impl
+        if lo == 0:
+            return [2, 0] if r == 0 else [None, 1]
+        return [None, 1] if r == 0 else [2, 0]
+
+    wz = jnp.zeros_like(w[0, 0, 0])  # (c_out, c_in)
+    rows = []
+    for a_h in (0, 1):
+        for a_w in (0, 1):
+            for rh in (0, 1):
+                for rw in (0, 1):
+                    th = taps(lo_h, rh)[a_h]
+                    tw = taps(lo_w, rw)[a_w]
+                    for td in range(3):
+                        rows.append(wz if th is None or tw is None
+                                    else w[td, th, tw])
+    wh = jnp.stack(rows).reshape(2, 2, 2, 2, 3, c_out, c_in)
+    k2 = jnp.einsum("tio,xyrstck->xyikrsoc",
+                    jnp.asarray(band, w.dtype), wh)
+    k2 = k2.reshape(2, 2, d_in_n * c_in, 4 * d_out_n * c_out)
+
+    y2 = jnp.transpose(y, (0, 2, 3, 1, 4)).reshape(n, h_in, w_in,
+                                                   d_in_n * c_in)
+    conv = lax.conv_general_dilated(
+        y2, k2, (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=accum_dtype,
+        precision=_precision_for(y, precision))
+    conv = conv.reshape(n, h_in + 1, w_in + 1, 2, 2, d_out_n, c_out)
+    outs = {}
+    for rh in (0, 1):
+        for rw in (0, 1):
+            t = conv[:, :, :, rh, rw]
+            off_h = 1 if (lo_h == 1 and rh == 1) else 0
+            off_w = 1 if (lo_w == 1 and rw == 1) else 0
+            outs[(rh, rw)] = t[:, off_h:, off_w:]
+    g = {rh: _weave_axis(outs[(rh, 0)], outs[(rh, 1)], 2, w_out)
+         for rh in (0, 1)}
+    out = _weave_axis(g[0], g[1], 1, h_out)  # (N, Hout, Wout, Dout, c_out)
+    out = jnp.transpose(out, (0, 3, 1, 2, 4))
     if b is not None:
         out = out + b.astype(out.dtype)
     return out.astype(y.dtype)
