@@ -2,7 +2,8 @@
 `px4_controller` (`ros/packages/px4_controller/src/px4_controller.cpp`) —
 the state machine, DNN->turn-angle control law, waypoint math, joystick
 arbitration, and person-stop interlock — decoupled from ROS/MAVROS behind a
-thin FCU interface so it runs against a simulator or a MAVLink bridge."""
+thin FCU interface.  `control.mavlink` provides the real wire protocol
+(MAVLink v1 over serial/UDP); `control.fcu.SimulatedFcu` the test double."""
 
 from redtail_tpu.control.controller import (
     Controller,

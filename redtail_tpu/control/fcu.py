@@ -9,10 +9,10 @@ Behavioral port of `PX4Controller::arm()`
    arming through the FCU services, retrying every ``retry_sec`` (5 s)
    until ``timeout_sec`` (30 s) (`:631-689`).
 
-The MAVLink wire protocol itself is out of scope (the reference used
-MAVROS); ``FcuInterface`` is the seam — `SimulatedFcu` for tests and
-simulation, a MAVLink bridge implements the same three methods on
-hardware.
+``FcuInterface`` is the seam: `SimulatedFcu` for tests and simulation,
+`control.mavlink.MavlinkFcu` speaks the real MAVLink wire protocol
+(heartbeat/set_mode/arm/setpoint over serial or UDP) for hardware — the
+slice of MAVROS the reference actually used.
 """
 
 from __future__ import annotations

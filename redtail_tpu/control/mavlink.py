@@ -1,0 +1,404 @@
+"""Minimal MAVLink v1 wire protocol: the last behavioral gap to a real FCU.
+
+The reference's `px4_controller` talks to the flight controller through
+MAVROS services/topics (`ros/packages/px4_controller/src/px4_controller.cpp:
+631-689` — set_mode + arming services, `:700-712` — setpoint publisher,
+`:97-116` — the mavros topic wiring).  MAVROS is itself just a ROS bridge
+over MAVLink; this module implements the slice of MAVLink the controller
+actually needs — HEARTBEAT, SET_MODE, COMMAND_LONG(ARM), COMMAND_ACK,
+SET_POSITION_TARGET_LOCAL_NED — so `arm_sequence` and the navigation loop
+can drive a real PX4/APM autopilot over a serial port or UDP socket with
+zero dependencies.
+
+Wire format (MAVLink 1, which PX4/ArduPilot always accept):
+
+    0xFE len seq sysid compid msgid payload[len] crc_lo crc_hi
+
+The checksum is the ITU X.25 CRC-16 over ``len..payload`` followed by the
+per-message CRC_EXTRA byte.  Rather than hard-coding CRC_EXTRA constants,
+they are **derived** here from the message field tables with the upstream
+generator's algorithm (CRC over "name type0 field0 type1 field1 ..." in
+wire order) — `tests/test_mavlink.py` pins the derived values against the
+published constants, so a wrong field table cannot pass silently.
+
+Field wire order is the MAVLink rule: stable sort by descending type size.
+"""
+
+from __future__ import annotations
+
+import struct
+import time
+from dataclasses import dataclass
+from typing import Callable, Dict, List, Optional, Tuple
+
+import numpy as np
+
+from redtail_tpu.control.controller import FcuState, Pose
+from redtail_tpu.control.fcu import FcuInterface
+from redtail_tpu.control.geometry import quat_yaw
+
+MAGIC_V1 = 0xFE
+
+# ------------------------------------------------------------------ CRC
+
+
+def x25_crc(data: bytes, crc: int = 0xFFFF) -> int:
+    """ITU X.25 / CRC-16-MCRF4XX, the MAVLink checksum."""
+    for b in data:
+        tmp = (b ^ (crc & 0xFF)) & 0xFF
+        tmp = (tmp ^ (tmp << 4)) & 0xFF
+        crc = ((crc >> 8) ^ (tmp << 8) ^ (tmp << 3) ^ (tmp >> 4)) & 0xFFFF
+    return crc
+
+
+# ------------------------------------------------------- message tables
+
+_TYPE_FMT = {"uint8_t": "B", "int8_t": "b", "uint16_t": "H", "int16_t": "h",
+             "uint32_t": "I", "int32_t": "i", "uint64_t": "Q",
+             "int64_t": "q", "float": "f", "double": "d", "char": "c"}
+_TYPE_SIZE = {k: struct.calcsize(v) for k, v in _TYPE_FMT.items()}
+
+
+@dataclass(frozen=True)
+class MessageDef:
+    name: str
+    msgid: int
+    fields: Tuple[Tuple[str, str], ...]  # (name, ctype) in XML order
+
+    @property
+    def wire_fields(self) -> List[Tuple[str, str]]:
+        # MAVLink wire order: stable sort by descending type size.
+        return sorted(self.fields, key=lambda f: -_TYPE_SIZE[f[1]])
+
+    @property
+    def fmt(self) -> str:
+        return "<" + "".join(_TYPE_FMT[t] for _, t in self.wire_fields)
+
+    @property
+    def crc_extra(self) -> int:
+        crc = x25_crc((self.name + " ").encode())
+        for fname, ftype in self.wire_fields:
+            crc = x25_crc((ftype + " ").encode(), crc)
+            crc = x25_crc((fname + " ").encode(), crc)
+        return (crc & 0xFF) ^ (crc >> 8)
+
+
+HEARTBEAT = MessageDef("HEARTBEAT", 0, (
+    ("type", "uint8_t"), ("autopilot", "uint8_t"), ("base_mode", "uint8_t"),
+    ("custom_mode", "uint32_t"), ("system_status", "uint8_t"),
+    ("mavlink_version", "uint8_t")))
+SET_MODE = MessageDef("SET_MODE", 11, (
+    ("target_system", "uint8_t"), ("base_mode", "uint8_t"),
+    ("custom_mode", "uint32_t")))
+LOCAL_POSITION_NED = MessageDef("LOCAL_POSITION_NED", 32, (
+    ("time_boot_ms", "uint32_t"), ("x", "float"), ("y", "float"),
+    ("z", "float"), ("vx", "float"), ("vy", "float"), ("vz", "float")))
+COMMAND_LONG = MessageDef("COMMAND_LONG", 76, (
+    ("target_system", "uint8_t"), ("target_component", "uint8_t"),
+    ("command", "uint16_t"), ("confirmation", "uint8_t"),
+    ("param1", "float"), ("param2", "float"), ("param3", "float"),
+    ("param4", "float"), ("param5", "float"), ("param6", "float"),
+    ("param7", "float")))
+COMMAND_ACK = MessageDef("COMMAND_ACK", 77, (
+    ("command", "uint16_t"), ("result", "uint8_t")))
+SET_POSITION_TARGET_LOCAL_NED = MessageDef(
+    "SET_POSITION_TARGET_LOCAL_NED", 84, (
+        ("time_boot_ms", "uint32_t"), ("target_system", "uint8_t"),
+        ("target_component", "uint8_t"), ("coordinate_frame", "uint8_t"),
+        ("type_mask", "uint16_t"), ("x", "float"), ("y", "float"),
+        ("z", "float"), ("vx", "float"), ("vy", "float"), ("vz", "float"),
+        ("afx", "float"), ("afy", "float"), ("afz", "float"),
+        ("yaw", "float"), ("yaw_rate", "float")))
+
+MESSAGES: Dict[int, MessageDef] = {m.msgid: m for m in (
+    HEARTBEAT, SET_MODE, LOCAL_POSITION_NED, COMMAND_LONG, COMMAND_ACK,
+    SET_POSITION_TARGET_LOCAL_NED)}
+
+# MAV_CMD / enum constants actually used.
+MAV_CMD_COMPONENT_ARM_DISARM = 400
+MAV_RESULT_ACCEPTED = 0
+MAV_MODE_FLAG_SAFETY_ARMED = 128
+MAV_MODE_FLAG_CUSTOM_MODE_ENABLED = 1
+MAV_FRAME_LOCAL_NED = 1
+MAV_TYPE_GCS = 6
+MAV_AUTOPILOT_INVALID = 8
+MAV_STATE_ACTIVE = 4
+# type_mask: use position + yaw, ignore vel/accel/force/yaw_rate
+# (what MAVROS setpoint_position publishes).
+TYPE_MASK_POSITION_YAW = 0x0BF8  # 8|16|32|64|128|256|512|2048
+
+# PX4 custom main modes (custom_mode >> 16) — px4 commander's union.
+PX4_MAIN_MODES = {"MANUAL": 1, "ALTCTL": 2, "POSCTL": 3, "AUTO": 4,
+                  "ACRO": 5, "OFFBOARD": 6, "STABILIZED": 7}
+# ArduPilot Rover custom modes (custom_mode used directly).
+APM_ROVER_MODES = {"MANUAL": 0, "ACRO": 1, "STEERING": 3, "HOLD": 4,
+                   "AUTO": 10, "RTL": 11, "GUIDED": 15}
+
+
+# ------------------------------------------------------------- framing
+
+
+def pack_frame(msg: MessageDef, seq: int, sysid: int, compid: int,
+               values: Dict[str, float]) -> bytes:
+    payload = struct.pack(msg.fmt,
+                          *(values.get(n, 0) for n, _ in msg.wire_fields))
+    header = struct.pack("<BBBBBB", MAGIC_V1, len(payload), seq & 0xFF,
+                         sysid, compid, msg.msgid)
+    crc = x25_crc(header[1:] + payload)
+    crc = x25_crc(bytes([msg.crc_extra]), crc)
+    return header + payload + struct.pack("<H", crc)
+
+
+class Deframer:
+    """Incremental stream parser: bytes in, (msgid, fields, sysid) out.
+
+    Resynchronizes on garbage and drops frames with bad checksums or
+    unknown message ids (unknown ids can't be CRC-checked without their
+    CRC_EXTRA — same policy as the upstream C parser).
+    """
+
+    def __init__(self):
+        self._buf = bytearray()
+        self.bad_crc = 0
+
+    def feed(self, data: bytes) -> List[Tuple[int, Dict[str, float], int]]:
+        self._buf.extend(data)
+        out = []
+        while True:
+            start = self._buf.find(bytes([MAGIC_V1]))
+            if start < 0:
+                self._buf.clear()
+                return out
+            del self._buf[:start]
+            if len(self._buf) < 8:
+                return out
+            length = self._buf[1]
+            total = 6 + length + 2
+            if len(self._buf) < total:
+                return out
+            frame = bytes(self._buf[:total])
+            msgid = frame[5]
+            msg = MESSAGES.get(msgid)
+            ok = False
+            if msg is not None and length == struct.calcsize(msg.fmt):
+                crc = x25_crc(frame[1:6 + length])
+                crc = x25_crc(bytes([msg.crc_extra]), crc)
+                ok = crc == struct.unpack("<H", frame[-2:])[0]
+            if not ok:
+                self.bad_crc += msg is not None
+                del self._buf[:1]  # resync after the magic byte
+                continue
+            vals = dict(zip((n for n, _ in msg.wire_fields),
+                            struct.unpack(msg.fmt, frame[6:6 + length])))
+            out.append((msgid, vals, frame[3]))
+            del self._buf[:total]
+
+
+# ------------------------------------------------------------ transports
+
+
+class LoopbackLink:
+    """A pair of in-memory duplex endpoints (tests / simulation)."""
+
+    def __init__(self):
+        self._a: List[bytes] = []
+        self._b: List[bytes] = []
+        self.a = _LoopEnd(self._a, self._b)
+        self.b = _LoopEnd(self._b, self._a)
+
+
+class _LoopEnd:
+    def __init__(self, rx: List[bytes], tx: List[bytes]):
+        self._rx, self._tx = rx, tx
+
+    def send(self, data: bytes) -> None:
+        self._tx.append(data)
+
+    def recv(self) -> bytes:
+        out = b"".join(self._rx)
+        self._rx.clear()
+        return out
+
+
+class UdpLink:
+    """UDP transport (the standard PX4 SITL link, e.g. 127.0.0.1:14540)."""
+
+    def __init__(self, remote: Tuple[str, int],
+                 local: Optional[Tuple[str, int]] = None):
+        import socket
+        self._sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        if local is not None:
+            self._sock.bind(local)
+        self._sock.setblocking(False)
+        self._remote = remote
+
+    def send(self, data: bytes) -> None:
+        self._sock.sendto(data, self._remote)
+
+    def recv(self) -> bytes:
+        chunks = []
+        while True:
+            try:
+                pkt, addr = self._sock.recvfrom(65535)
+            except (BlockingIOError, InterruptedError):
+                break
+            self._remote = addr  # lock onto whoever talks to us
+            chunks.append(pkt)
+        return b"".join(chunks)
+
+
+# --------------------------------------------------------------- the FCU
+
+
+def _enu_to_ned(p: np.ndarray) -> Tuple[float, float, float]:
+    return float(p[1]), float(p[0]), float(-p[2])
+
+
+class MavlinkFcu(FcuInterface):
+    """`FcuInterface` over a MAVLink byte link.
+
+    The controller's poses are local-ENU (the MAVROS convention the
+    reference inherited); setpoints are converted to NED on the wire
+    (x<->y, z negated, yaw_ned = pi/2 - yaw_enu).  State (mode + armed)
+    is authoritative from the autopilot's HEARTBEAT, exactly like
+    mavros/state in the reference (`px4_controller.cpp:631-645`).
+    """
+
+    def __init__(self, link, *, sysid: int = 255, compid: int = 190,
+                 target_system: int = 1, target_component: int = 1,
+                 mode_map: Optional[Dict[str, int]] = None,
+                 px4: bool = True,
+                 clock: Callable[[], float] = time.monotonic):
+        self.link = link
+        self.sysid, self.compid = sysid, compid
+        self.target_system, self.target_component = (
+            target_system, target_component)
+        self._px4 = px4
+        self._modes = mode_map or (PX4_MAIN_MODES if px4
+                                   else APM_ROVER_MODES)
+        self._names = {v: k for k, v in self._modes.items()}
+        self._clock = clock
+        self._t0 = clock()
+        self._seq = 0
+        self._deframer = Deframer()
+        self._state = FcuState()
+        self._acks: Dict[int, int] = {}
+        self._last_heartbeat_tx = -1.0
+
+    # -- wire helpers
+
+    def _send(self, msg: MessageDef, **values) -> None:
+        self.link.send(pack_frame(msg, self._seq, self.sysid, self.compid,
+                                  values))
+        self._seq += 1
+
+    def _pump(self) -> None:
+        for msgid, vals, sysid in self._deframer.feed(self.link.recv()):
+            if msgid == HEARTBEAT.msgid and sysid == self.target_system:
+                armed = bool(int(vals["base_mode"])
+                             & MAV_MODE_FLAG_SAFETY_ARMED)
+                custom = int(vals["custom_mode"])
+                key = (custom >> 16) & 0xFF if self._px4 else custom
+                self._state = FcuState(
+                    mode=self._names.get(key, f"MODE({key})"), armed=armed)
+            elif msgid == COMMAND_ACK.msgid:
+                self._acks[int(vals["command"])] = int(vals["result"])
+
+    def _heartbeat(self) -> None:
+        now = self._clock()
+        if now - self._last_heartbeat_tx >= 0.5:
+            self._send(HEARTBEAT, type=MAV_TYPE_GCS,
+                       autopilot=MAV_AUTOPILOT_INVALID,
+                       base_mode=0, custom_mode=0,
+                       system_status=MAV_STATE_ACTIVE, mavlink_version=3)
+            self._last_heartbeat_tx = now
+
+    # -- FcuInterface
+
+    def state(self) -> FcuState:
+        self._heartbeat()
+        self._pump()
+        return self._state
+
+    def set_mode(self, mode: str) -> bool:
+        if mode not in self._modes:
+            return False
+        custom = self._modes[mode] << 16 if self._px4 else self._modes[mode]
+        self._send(SET_MODE, target_system=self.target_system,
+                   base_mode=MAV_MODE_FLAG_CUSTOM_MODE_ENABLED,
+                   custom_mode=custom)
+        self._pump()
+        return True
+
+    def arm(self) -> bool:
+        self._acks.pop(MAV_CMD_COMPONENT_ARM_DISARM, None)
+        self._send(COMMAND_LONG, target_system=self.target_system,
+                   target_component=self.target_component,
+                   command=MAV_CMD_COMPONENT_ARM_DISARM, confirmation=0,
+                   param1=1.0)
+        self._pump()
+        return self._acks.get(MAV_CMD_COMPONENT_ARM_DISARM) \
+            == MAV_RESULT_ACCEPTED
+
+    def publish_setpoint(self, pose: Pose) -> None:
+        self._heartbeat()
+        x, y, z = _enu_to_ned(pose.position)
+        yaw_ned = float(np.pi / 2.0 - quat_yaw(pose.orientation))
+        self._send(SET_POSITION_TARGET_LOCAL_NED,
+                   time_boot_ms=int((self._clock() - self._t0) * 1000.0),
+                   target_system=self.target_system,
+                   target_component=self.target_component,
+                   coordinate_frame=MAV_FRAME_LOCAL_NED,
+                   type_mask=TYPE_MASK_POSITION_YAW,
+                   x=x, y=y, z=z, yaw=yaw_ned)
+        self._pump()
+
+
+class MicroAutopilot:
+    """A wire-level autopilot stub: parses real frames, answers with real
+    frames.  Stands in for PX4 SITL so the full byte path — pack, CRC,
+    deframe, mode union, ack — is exercised end-to-end in tests."""
+
+    def __init__(self, link, *, sysid: int = 1, px4: bool = True,
+                 accept_after: int = 1):
+        self.link = link
+        self.sysid = sysid
+        self._px4 = px4
+        self.accept_after = accept_after
+        self.mode_requests = 0
+        self.arm_requests = 0
+        self.custom_mode = 0
+        self.armed = False
+        self.setpoints: List[Tuple[float, float, float, float]] = []
+        self._seq = 0
+        self._deframer = Deframer()
+
+    def _send(self, msg: MessageDef, **values) -> None:
+        self.link.send(pack_frame(msg, self._seq, self.sysid, 1, values))
+        self._seq += 1
+
+    def step(self) -> None:
+        """Process inbound frames, then emit one HEARTBEAT."""
+        for msgid, vals, _sysid in self._deframer.feed(self.link.recv()):
+            if msgid == SET_MODE.msgid:
+                self.mode_requests += 1
+                if self.mode_requests >= self.accept_after:
+                    self.custom_mode = int(vals["custom_mode"])
+            elif msgid == COMMAND_LONG.msgid:
+                cmd = int(vals["command"])
+                if cmd == MAV_CMD_COMPONENT_ARM_DISARM:
+                    self.arm_requests += 1
+                    if self.arm_requests >= self.accept_after:
+                        self.armed = vals["param1"] > 0.5
+                        self._send(COMMAND_ACK, command=cmd,
+                                   result=MAV_RESULT_ACCEPTED)
+                    else:
+                        self._send(COMMAND_ACK, command=cmd, result=1)
+            elif msgid == SET_POSITION_TARGET_LOCAL_NED.msgid:
+                self.setpoints.append((vals["x"], vals["y"], vals["z"],
+                                       vals["yaw"]))
+        base = MAV_MODE_FLAG_CUSTOM_MODE_ENABLED \
+            | (MAV_MODE_FLAG_SAFETY_ARMED if self.armed else 0)
+        self._send(HEARTBEAT, type=2, autopilot=12 if self._px4 else 3,
+                   base_mode=base, custom_mode=self.custom_mode,
+                   system_status=MAV_STATE_ACTIVE, mavlink_version=3)

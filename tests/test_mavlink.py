@@ -1,0 +1,148 @@
+"""MAVLink wire-protocol tests.
+
+The CRC_EXTRA values are derived from the field tables in
+`control/mavlink.py`; pinning them against the published common-dialect
+constants proves the field tables (names, types, wire order) are exactly
+the upstream definitions — a wrong table cannot round-trip quietly.
+"""
+
+import numpy as np
+import pytest
+
+from redtail_tpu.control import Controller, ControllerConfig, \
+    ControllerState, Drone, Pose
+from redtail_tpu.control.fcu import arm_sequence
+from redtail_tpu.control.geometry import yaw_quat
+from redtail_tpu.control.mavlink import (
+    APM_ROVER_MODES,
+    COMMAND_ACK,
+    COMMAND_LONG,
+    HEARTBEAT,
+    LOCAL_POSITION_NED,
+    MAGIC_V1,
+    MavlinkFcu,
+    MicroAutopilot,
+    Deframer,
+    LoopbackLink,
+    SET_MODE,
+    SET_POSITION_TARGET_LOCAL_NED,
+    UdpLink,
+    pack_frame,
+    x25_crc,
+)
+
+
+def test_x25_crc_known_vector():
+    # MAVLink's CRC is CRC-16/MCRF4XX; published check value 0x6F91.
+    assert x25_crc(b"123456789") == 0x6F91
+
+
+def test_crc_extra_matches_published_constants():
+    # Published CRC_EXTRA bytes from the MAVLink common dialect.
+    assert HEARTBEAT.crc_extra == 50
+    assert SET_MODE.crc_extra == 89
+    assert LOCAL_POSITION_NED.crc_extra == 185
+    assert COMMAND_LONG.crc_extra == 152
+    assert COMMAND_ACK.crc_extra == 143
+    assert SET_POSITION_TARGET_LOCAL_NED.crc_extra == 143
+
+
+def test_pack_parse_roundtrip():
+    frame = pack_frame(SET_POSITION_TARGET_LOCAL_NED, 7, 255, 190, dict(
+        time_boot_ms=1234, target_system=1, target_component=1,
+        coordinate_frame=1, type_mask=0x0BF8, x=1.5, y=-2.5, z=-10.0,
+        yaw=0.25))
+    assert frame[0] == MAGIC_V1
+    msgs = Deframer().feed(frame)
+    assert len(msgs) == 1
+    msgid, vals, sysid = msgs[0]
+    assert msgid == SET_POSITION_TARGET_LOCAL_NED.msgid
+    assert sysid == 255
+    assert vals["time_boot_ms"] == 1234
+    assert vals["x"] == pytest.approx(1.5)
+    assert vals["z"] == pytest.approx(-10.0)
+    assert vals["type_mask"] == 0x0BF8
+
+
+def test_deframer_rejects_corruption_and_resyncs():
+    good = pack_frame(HEARTBEAT, 0, 1, 1, dict(
+        type=2, autopilot=12, base_mode=129, custom_mode=6 << 16,
+        system_status=4, mavlink_version=3))
+    corrupted = bytearray(good)
+    corrupted[10] ^= 0xFF
+    d = Deframer()
+    # garbage + corrupted frame + split good frame across two feeds
+    assert d.feed(b"\x00\x13garbage" + bytes(corrupted) + good[:9]) == []
+    msgs = d.feed(good[9:])
+    assert len(msgs) == 1 and msgs[0][0] == HEARTBEAT.msgid
+    assert d.bad_crc >= 1
+
+
+def test_arm_sequence_over_the_wire():
+    """Full byte-level handshake: MavlinkFcu <-> MicroAutopilot through
+    the loopback link, driven by the same `arm_sequence` the reference
+    runs against MAVROS (`px4_controller.cpp:631-689`)."""
+    link = LoopbackLink()
+    t = [0.0]
+
+    def clock():
+        return t[0]
+
+    ap = MicroAutopilot(link.b, accept_after=2)  # exercise a retry
+    fcu = MavlinkFcu(link.a, clock=clock)
+
+    def sleep(dt):
+        t[0] += dt
+        ap.step()
+
+    ctl = Controller(Drone(), ControllerConfig())
+    ap.step()  # first heartbeat in flight before we start
+    ok = arm_sequence(ctl, fcu, get_pose=lambda: Pose(np.zeros(3)),
+                      clock=clock, sleep=sleep, retry_sec=0.2,
+                      timeout_sec=10.0)
+    assert ok
+    assert ctl.state == ControllerState.ARMED
+    assert ap.armed and ap.custom_mode == 6 << 16  # PX4 OFFBOARD
+    assert ap.mode_requests >= 2 and ap.arm_requests >= 2
+    assert len(ap.setpoints) >= 20  # warm-up stream reached the wire
+
+
+def test_setpoint_enu_to_ned():
+    link = LoopbackLink()
+    fcu = MavlinkFcu(link.a)
+    ap = MicroAutopilot(link.b)
+    fcu.publish_setpoint(Pose(np.array([1.0, 2.0, 3.0]),
+                              yaw_quat(np.pi / 2)))
+    ap.step()
+    x, y, z, yaw = ap.setpoints[0]
+    assert (x, y, z) == pytest.approx((2.0, 1.0, -3.0))
+    assert yaw == pytest.approx(0.0)  # ENU pi/2 (north) -> NED 0
+
+
+def test_apm_rover_mode_union():
+    link = LoopbackLink()
+    fcu = MavlinkFcu(link.a, px4=False)
+    ap = MicroAutopilot(link.b, px4=False)
+    assert fcu.set_mode("GUIDED")
+    ap.step()
+    assert ap.custom_mode == APM_ROVER_MODES["GUIDED"]
+    st = fcu.state()
+    assert st.mode == "GUIDED" and not st.armed
+
+
+def test_udp_link_loopback():
+    import socket
+
+    rx = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    rx.bind(("127.0.0.1", 0))
+    port = rx.getsockname()[1]
+    rx.close()
+    a = UdpLink(("127.0.0.1", port), local=("127.0.0.1", port))
+    frame = pack_frame(COMMAND_ACK, 0, 1, 1, dict(command=400, result=0))
+    a.send(frame)
+    import time
+    deadline = time.time() + 2.0
+    got = b""
+    while not got and time.time() < deadline:
+        got = a.recv()
+    assert got == frame
