@@ -254,6 +254,95 @@ def _volume_head(spec, params, vol, full_hw, *, first_act=None):
     return softargmin(x, axis=1)[..., 0]
 
 
+def _volume_head_packed(spec, params, full_hw, *, first_act):
+    """Channel-packed twin of `_volume_head` (TPU fast path).
+
+    The 3D stack runs at 16-64 channels natively — a fraction of the
+    MXU's 128 lanes (conv3D_2 measured 8% MFU).  Here every layer runs
+    with D (and H where channels allow) pairs folded into channels
+    (`ops/packed3d.py`): measured 1.7-3.1x per layer on a v5e, exact to
+    the native head (gated in tests/test_packed3d.py::test_packed_head).
+
+    Layer policy: stride-1 layers keep their input layout; downsamples
+    move DH->D and drop to native once 2*c_out > 128 lanes; decoders
+    emit each skip's layout directly from the transposed conv; the final
+    full-res deconv and soft-argmin run native (dfold handles c_out=1).
+    """
+    from redtail_tpu.ops import packed3d as P
+
+    enc3 = params["encoder3D"]
+    layers = spec.enc3d
+    acts: Dict[str, tuple] = {}
+    d0, h0, w0 = first_act.shape[1:4]
+    x = P.pack(first_act, d=True, h=True)
+    layout, spatial = "dh", (d0, h0, w0)
+    acts[layers[0].name] = (x, layout, spatial)
+    for layer in layers[1:]:
+        p = enc3[layer.name]
+        w_, b_ = p["weights"], p["biases"]
+        c_out = w_.shape[4]
+        if layer.stride == 1:
+            if layout == "none":
+                y = conv3d(x, w_, b_)
+            else:
+                y = P.conv3d_packed(x, w_, b_, full_spatial=spatial,
+                                    packed_h=(layout == "dh"))
+        else:
+            new_spatial = tuple(-(-s // 2) for s in spatial)
+            if layout == "dh":
+                y = P.conv3d_packed_down(x, w_, b_, full_spatial=spatial,
+                                         packed_h=True)
+                layout = "d"
+            elif layout == "d" and 2 * c_out > 128:
+                y = P.conv3d_packed_down_unpack(x, w_, b_,
+                                                full_spatial=spatial)
+                layout = "none"
+            elif layout == "d":
+                y = P.conv3d_packed_down(x, w_, b_, full_spatial=spatial,
+                                         packed_h=False)
+            else:
+                y = conv3d(x, w_, b_, strides=(2, 2, 2))
+            spatial = new_spatial
+        x = elu(y)
+        acts[layer.name] = (x, layout, spatial)
+    dec3 = params["decoder3D"]
+    h_full, w_full = full_hw
+    for name, _out_ch, skip in spec.dec3d:
+        p = dec3[name]
+        if layout != "none":
+            x = P.unpack(x, spatial, d=True, h=(layout == "dh"))
+        if skip is not None:
+            sk, sk_layout, sk_spatial = acts[skip]
+            if sk_layout == "none":
+                y = conv3d_transpose(x, p["weights"], p["biases"],
+                                     out_spatial=sk_spatial,
+                                     strides=(2, 2, 2))
+            else:
+                y = P.deconv3d_to_packed(x, p["weights"], p["biases"],
+                                         out_spatial=sk_spatial,
+                                         pack_h=(sk_layout == "dh"))
+            x = elu(y + sk)
+            layout, spatial = sk_layout, sk_spatial
+        else:
+            target = (spec.full_max_disp, h_full, w_full)
+            x = conv3d_transpose(x, p["weights"], p["biases"],
+                                 out_spatial=target, strides=(2, 2, 2))
+            layout, spatial = "none", target
+    return softargmin(x, axis=1)[..., 0]
+
+
+def use_packed3d() -> bool:
+    """Packed 3D stack toggle (REDTAIL_TPU_PACKED3D=1).
+
+    Status: per-layer the packed convs win 1.7-3.1x on a v5e, but the
+    first composed measurement LOST on NVSmall/ResNet-18 (71 vs 53 ms /
+    114 vs 83 ms) while winning on NVTiny (3.67 vs 4.48 ms) — the
+    pack/shift/weave glue costs are being attributed and reduced
+    (tools/microbench_packed.py); opt-in until the composed models win."""
+    import os
+    return os.environ.get("REDTAIL_TPU_PACKED3D") == "1"
+
+
 def _bneck_head(spec, params, d, conv1_act, full_hw):
     """ResNet18-2D head: feature concat + 2D bottleneck over the
     soft-argmax disparity map ``d`` (N, H', W', 1).
@@ -310,6 +399,9 @@ def stereo_forward(spec: StereoSpec, params: Params, left, right):
         p1 = params["encoder3D"][first.name]
         first_act = elu(cost_volume_conv3d(
             fl, fr, p1["weights"], p1["biases"], spec.max_disp))
+        if use_packed3d():
+            return _volume_head_packed(spec, params, full_hw,
+                                       first_act=first_act)
         return _volume_head(spec, params, None, full_hw,
                             first_act=first_act)
     vol = cost_volume(fl, fr, spec.max_disp)
