@@ -280,7 +280,12 @@ def conv3d_transpose(y, w, b=None, *, out_spatial, strides=(2, 2, 2),
 
 def _weave_axis(even, odd, axis: int, out_size: int):
     """Interleave two equal-rank arrays along axis: out[2j]=even[j],
-    out[2j+1]=odd[j]; pads the shorter parity and slices to out_size."""
+    out[2j+1]=odd[j]; pads the shorter parity and slices to out_size.
+
+    NOTE: the `lax.pad` interior-dilation + add formulation was measured
+    SLOWER than this stack+reshape on a v5e (NVSmall native e2e 53->63 ms
+    through dfold's full-res weaves) — interior pads on non-minor axes
+    lower worse than the reshape. Keep the stack form."""
     n_even = (out_size + 1) // 2
     n_odd = out_size // 2
     pad_to = max(n_even, n_odd)
