@@ -254,7 +254,8 @@ def _volume_head(spec, params, vol, full_hw, *, first_act=None):
     return softargmin(x, axis=1)[..., 0]
 
 
-def _volume_head_packed(spec, params, full_hw, *, first_act):
+def _volume_head_packed(spec, params, full_hw, *, first_packed,
+                        vol_spatial):
     """Channel-packed twin of `_volume_head` (TPU fast path).
 
     The 3D stack runs at 16-64 channels natively — a fraction of the
@@ -273,58 +274,55 @@ def _volume_head_packed(spec, params, full_hw, *, first_act):
     enc3 = params["encoder3D"]
     layers = spec.enc3d
     acts: Dict[str, tuple] = {}
-    d0, h0, w0 = first_act.shape[1:4]
-    x = P.pack(first_act, d=True, h=True)
-    layout, spatial = "dh", (d0, h0, w0)
-    acts[layers[0].name] = (x, layout, spatial)
+    x = first_packed  # shifted-DH, ELU already applied by the fused op
+    layout, conv_shift, spatial = "dh", True, vol_spatial
     for layer in layers[1:]:
         p = enc3[layer.name]
         w_, b_ = p["weights"], p["biases"]
         c_out = w_.shape[4]
         if layer.stride == 1:
             if layout == "none":
-                y = conv3d(x, w_, b_)
+                x = elu(conv3d(x, w_, b_))
             else:
-                y = P.conv3d_packed(x, w_, b_, full_spatial=spatial,
-                                    packed_h=(layout == "dh"))
+                x = elu(P.conv3d_packed(x, w_, b_, full_spatial=spatial,
+                                        packed_h=(layout == "dh"),
+                                        in_shifted=conv_shift))
+                conv_shift = not conv_shift
         else:
-            new_spatial = tuple(-(-s // 2) for s in spatial)
-            if layout == "dh":
-                y = P.conv3d_packed_down(x, w_, b_, full_spatial=spatial,
-                                         packed_h=True)
+            assert not conv_shift, \
+                f"{layer.name}: downsample needs an aligned input"
+            if layout == "dh" or (layout == "d" and 2 * c_out <= 128):
+                x = elu(P.conv3d_packed_down(x, w_, b_,
+                                             full_spatial=spatial,
+                                             packed_h=(layout == "dh")))
                 layout = "d"
-            elif layout == "d" and 2 * c_out > 128:
-                y = P.conv3d_packed_down_unpack(x, w_, b_,
-                                                full_spatial=spatial)
-                layout = "none"
             elif layout == "d":
-                y = P.conv3d_packed_down(x, w_, b_, full_spatial=spatial,
-                                         packed_h=False)
+                x = elu(P.conv3d_packed_down_unpack(x, w_, b_,
+                                                    full_spatial=spatial))
+                layout = "none"
             else:
-                y = conv3d(x, w_, b_, strides=(2, 2, 2))
-            spatial = new_spatial
-        x = elu(y)
-        acts[layer.name] = (x, layout, spatial)
+                x = elu(conv3d(x, w_, b_, strides=(2, 2, 2)))
+            spatial = tuple(-(-s // 2) for s in spatial)
+        acts[layer.name] = (x, layout, conv_shift, spatial)
     dec3 = params["decoder3D"]
     h_full, w_full = full_hw
     for name, _out_ch, skip in spec.dec3d:
         p = dec3[name]
-        if layout != "none":
-            x = P.unpack(x, spatial, d=True, h=(layout == "dh"))
         if skip is not None:
-            sk, sk_layout, sk_spatial = acts[skip]
-            if sk_layout == "none":
-                y = conv3d_transpose(x, p["weights"], p["biases"],
-                                     out_spatial=sk_spatial,
-                                     strides=(2, 2, 2))
-            else:
-                y = P.deconv3d_to_packed(x, p["weights"], p["biases"],
-                                         out_spatial=sk_spatial,
-                                         pack_h=(sk_layout == "dh"))
+            sk, sk_layout, sk_shift, sk_spatial = acts[skip]
+            assert not sk_shift, f"skip {skip} must be aligned"
+            assert layout in ("none", "d"), \
+                f"{name}: deconv input layout {layout}"
+            y = P.deconv3d_packed(x, p["weights"], p["biases"],
+                                  out_spatial=sk_spatial,
+                                  in_packed_d=(layout == "d"),
+                                  pack_h=(sk_layout == "dh"))
             x = elu(y + sk)
-            layout, spatial = sk_layout, sk_spatial
+            layout, conv_shift, spatial = sk_layout, sk_shift, sk_spatial
         else:
             target = (spec.full_max_disp, h_full, w_full)
+            if layout != "none":
+                x = P.unpack_conv(x, spatial, packed_h=(layout == "dh"))
             x = conv3d_transpose(x, p["weights"], p["biases"],
                                  out_spatial=target, strides=(2, 2, 2))
             layout, spatial = "none", target
@@ -332,15 +330,17 @@ def _volume_head_packed(spec, params, full_hw, *, first_act):
 
 
 def use_packed3d() -> bool:
-    """Packed 3D stack toggle (REDTAIL_TPU_PACKED3D=1).
+    """Packed 3D stack: default ON on TPU, REDTAIL_TPU_PACKED3D=0/1
+    overrides (tests force it on CPU for parity gates).
 
-    Status: per-layer the packed convs win 1.7-3.1x on a v5e, but the
-    first composed measurement LOST on NVSmall/ResNet-18 (71 vs 53 ms /
-    114 vs 83 ms) while winning on NVTiny (3.67 vs 4.48 ms) — the
-    pack/shift/weave glue costs are being attributed and reduced
-    (tools/microbench_packed.py); opt-in until the composed models win."""
+    Composed wins on a v5e (chained latency, bf16, random weights):
+    NVSmall 53.2 -> 37.3 ms, NVTiny 4.45 -> 2.95 ms, ResNet-18 3D
+    82.6 -> 57.7 ms."""
     import os
-    return os.environ.get("REDTAIL_TPU_PACKED3D") == "1"
+    v = os.environ.get("REDTAIL_TPU_PACKED3D")
+    if v is not None:
+        return v == "1"
+    return jax.default_backend() == "tpu"
 
 
 def _bneck_head(spec, params, d, conv1_act, full_hw):
@@ -397,11 +397,16 @@ def stereo_forward(spec: StereoSpec, params: Params, left, right):
         # conv2d (exact; see ops/fused_cost_volume_conv.py).
         from redtail_tpu.ops.fused_cost_volume_conv import cost_volume_conv3d
         p1 = params["encoder3D"][first.name]
+        if use_packed3d():
+            first_packed = cost_volume_conv3d(
+                fl, fr, p1["weights"], p1["biases"], spec.max_disp,
+                act=elu, emit="dh_shifted")
+            vol_spatial = (spec.max_disp,) + tuple(fl.shape[1:3])
+            return _volume_head_packed(spec, params, full_hw,
+                                       first_packed=first_packed,
+                                       vol_spatial=vol_spatial)
         first_act = elu(cost_volume_conv3d(
             fl, fr, p1["weights"], p1["biases"], spec.max_disp))
-        if use_packed3d():
-            return _volume_head_packed(spec, params, full_hw,
-                                       first_act=first_act)
         return _volume_head(spec, params, None, full_hw,
                             first_act=first_act)
     vol = cost_volume(fl, fr, spec.max_disp)

@@ -43,9 +43,19 @@ def _conv2d_nhwc(x, w, accum_dtype=jnp.float32, precision=None):
 
 
 def cost_volume_conv3d(left, right, w, b=None, max_disp: int = 48,
-                       *, precision=None):
+                       *, precision=None, act=None, emit: str = "full"):
     """left/right (N, H, W, C) + conv3d weights w (3, 3, 3, 2C, K) ->
     conv3d(cost_volume(left, right, D), w, stride 1, SAME): (N, D, H, W, K).
+
+    ``act``: optional activation applied per-slice while still fp32 (the
+    packed path folds the model's ELU here so no extra full-volume pass).
+    ``emit='dh_shifted'``: return the SHIFTED (ph, pd, c)-packed layout
+    of `ops.packed3d` — (N, Dp+1, Hp+1, W, 4K) with slot a holding
+    originals (2a-1, 2a) per packed axis and zero boundary slots — built
+    from per-slice strided H slices at stack time, so the packed volume
+    costs the same single write as the full one (no separate pack pass).
+    This is exactly the convention `conv3d_packed` consumes (emitting
+    aligned output), so the whole 3D stack runs conv-only.
     """
     n, h, wd, c = left.shape
     kd, kh, kw, c2, k_out = w.shape
@@ -91,8 +101,36 @@ def cost_volume_conv3d(left, right, w, b=None, max_disp: int = 48,
                 + cc[i][:, :, 0][:, :, None, :] * onehot[None, None, :, None] \
                 - cc[i][:, :, wd - dp][:, :, None, :] * last_col
             acc = acc + shifted
-        out.append(acc)
-    y = jnp.stack(out, axis=1)  # (N, D, H, W, K) fp32
-    if b is not None:
-        y = y + b.astype(y.dtype)
-    return y.astype(left.dtype)
+        if b is not None:
+            acc = acc + b.astype(acc.dtype)
+        if act is not None:
+            acc = act(acc)
+        out.append(acc.astype(left.dtype))
+    if emit == "dh_shifted":
+        # slot a holds originals (2a-1, 2a); boundary slots are zeros.
+        hp = (h + 1) // 2
+        zero = jnp.zeros_like(out[0][:, :1])
+
+        def h_shift(o, qh):
+            # H slot b row = 2b - 1 + qh, b in [0, Hp]:
+            # qh=0: rows -1,1,3,..  qh=1: rows 0,2,4,..
+            rows = o[:, 1::2] if qh == 0 else o[:, 0::2]
+            lead = 1 if qh == 0 else 0
+            need = hp + 1 - lead - rows.shape[1]
+            return jnp.concatenate(
+                ([zero] if lead else []) + [rows]
+                + ([jnp.zeros_like(o[:, :need])] if need > 0 else []),
+                axis=1)
+
+        zslice = jnp.zeros_like(out[0])
+        pairs = []
+        for a in range((max_disp + 1) // 2 + 1):
+            quads = []
+            for qh in (0, 1):
+                for qd in (0, 1):
+                    d = 2 * a - 1 + qd
+                    o = out[d] if 0 <= d < max_disp else zslice
+                    quads.append(h_shift(o, qh))
+            pairs.append(jnp.concatenate(quads, axis=-1))
+        return jnp.stack(pairs, axis=1)  # (N, Dp+1, Hp+1, W, 4K)
+    return jnp.stack(out, axis=1)  # (N, D, H, W, K)

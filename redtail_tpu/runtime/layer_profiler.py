@@ -118,6 +118,9 @@ def stereo_layer_plan(spec, params, left, right):
         out = run("sigmoid", lambda a: sigmoid(a)[..., 0], x)
         return entries, out
 
+    if S.use_packed3d() and spec.enc3d and spec.enc3d[0].stride == 1:
+        return _packed_plan(spec, params, fl, fr, full_hw, run, entries)
+
     enc3 = params["encoder3D"]
     layers = spec.enc3d
     acts = {}
@@ -155,6 +158,85 @@ def stereo_layer_plan(spec, params, left, right):
                     conv3d_transpose(a, p["weights"], p["biases"],
                                      out_spatial=target, strides=(2, 2, 2)),
                     x)
+    out = run("softargmin", lambda a: softargmin(a, axis=1)[..., 0], x)
+    return entries, out
+
+
+def _packed_plan(spec, params, fl, fr, full_hw, run, entries):
+    """Layer plan following the channel-packed TPU pipeline
+    (`models/stereo.py:_volume_head_packed`) so the table reflects the
+    layers that actually execute when packed mode is on."""
+    from redtail_tpu.ops import conv3d, conv3d_transpose, elu, softargmin
+    from redtail_tpu.ops import packed3d as P
+    from redtail_tpu.ops.fused_cost_volume_conv import cost_volume_conv3d
+
+    enc3 = params["encoder3D"]
+    p1 = enc3[spec.enc3d[0].name]
+    x = run(f"cost_volume+{spec.enc3d[0].name}[pk]",
+            lambda a, b: cost_volume_conv3d(
+                a, b, p1["weights"], p1["biases"], spec.max_disp,
+                act=elu, emit="dh_shifted"), fl, fr)
+    layout, shift = "dh", True
+    spatial = (spec.max_disp,) + tuple(fl.shape[1:3])
+    acts = {spec.enc3d[0].name: (x, layout, shift, spatial)}
+    for layer in spec.enc3d[1:]:
+        p = enc3[layer.name]
+        w_, b_ = p["weights"], p["biases"]
+        c_out = w_.shape[4]
+        if layer.stride == 1:
+            if layout == "none":
+                x = run(layer.name, lambda a, w_=w_, b_=b_:
+                        elu(conv3d(a, w_, b_)), x)
+            else:
+                x = run(f"{layer.name}[pk]",
+                        lambda a, w_=w_, b_=b_, sp=spatial, lay=layout,
+                        sh=shift: elu(P.conv3d_packed(
+                            a, w_, b_, full_spatial=sp,
+                            packed_h=(lay == "dh"), in_shifted=sh)), x)
+                shift = not shift
+        else:
+            if layout == "dh" or (layout == "d" and 2 * c_out <= 128):
+                x = run(f"{layer.name}[pk]",
+                        lambda a, w_=w_, b_=b_, sp=spatial, lay=layout:
+                        elu(P.conv3d_packed_down(
+                            a, w_, b_, full_spatial=sp,
+                            packed_h=(lay == "dh"))), x)
+                layout = "d"
+            elif layout == "d":
+                x = run(f"{layer.name}[pk]",
+                        lambda a, w_=w_, b_=b_, sp=spatial:
+                        elu(P.conv3d_packed_down_unpack(
+                            a, w_, b_, full_spatial=sp)), x)
+                layout = "none"
+            else:
+                x = run(layer.name, lambda a, w_=w_, b_=b_:
+                        elu(conv3d(a, w_, b_, strides=(2, 2, 2))), x)
+            spatial = tuple(-(-s // 2) for s in spatial)
+        acts[layer.name] = (x, layout, shift, spatial)
+    dec3 = params["decoder3D"]
+    h_full, w_full = full_hw
+    for name, _oc, skip in spec.dec3d:
+        p = dec3[name]
+        if skip is not None:
+            sk, sk_layout, _sk_shift, sk_spatial = acts[skip]
+            x = run(f"{name}[pk]",
+                    lambda a, s_, p=p, tgt=sk_spatial, lay=layout,
+                    sl=sk_layout: elu(P.deconv3d_packed(
+                        a, p["weights"], p["biases"], out_spatial=tgt,
+                        in_packed_d=(lay == "d"),
+                        pack_h=(sl == "dh")) + s_), x, sk)
+            layout, spatial = sk_layout, sk_spatial
+        else:
+            target = (spec.full_max_disp, h_full, w_full)
+            if layout != "none":
+                x = run("unpack[pk]",
+                        lambda a, sp=spatial, lay=layout: P.unpack_conv(
+                            a, sp, packed_h=(lay == "dh")), x)
+            x = run(name, lambda a, p=p, target=target:
+                    conv3d_transpose(a, p["weights"], p["biases"],
+                                     out_spatial=target, strides=(2, 2, 2)),
+                    x)
+            layout = "none"
     out = run("softargmin", lambda a: softargmin(a, axis=1)[..., 0], x)
     return entries, out
 

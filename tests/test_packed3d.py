@@ -1,8 +1,9 @@
-"""Exactness gates for the channel-packed conv3d reformulations.
+"""Exactness gates for the channel-packed conv3d reformulations (v3).
 
-Every packed op must reproduce its native counterpart bit-for-bit in
-fp32 (both are the same sums reordered; tolerance covers accumulation
-order only) across odd/even D/H/W and both lo parities.
+Every packed op must reproduce its native counterpart in fp32 across
+odd/even D/H/W (both TF-SAME lo parities), including the pair-convention
+flip of stride-1 convs (shifted <-> aligned) and the lhs-dilated packed
+transposed convs.
 """
 
 import numpy as np
@@ -15,9 +16,10 @@ from redtail_tpu.ops.packed3d import (
     conv3d_packed,
     conv3d_packed_down,
     conv3d_packed_down_unpack,
-    deconv3d_to_packed,
+    deconv3d_packed,
     pack,
-    unpack,
+    unpack_conv,
+    unpack_ref,
 )
 
 
@@ -29,42 +31,56 @@ def _rand(shape, seed=0):
 @pytest.mark.parametrize("dhw", [(8, 10, 12), (7, 9, 11), (6, 9, 12),
                                  (5, 6, 7)])
 @pytest.mark.parametrize("packed_h", [True, False])
-def test_pack_unpack_roundtrip(dhw, packed_h):
+@pytest.mark.parametrize("shifted", [True, False])
+def test_pack_unpack_roundtrip(dhw, packed_h, shifted):
     x = _rand((2, *dhw, 3))
-    xp = pack(x, d=True, h=packed_h)
+    xp = pack(x, d=True, h=packed_h, shifted=shifted)
     assert xp.shape[-1] == (4 if packed_h else 2) * 3
-    got = unpack(xp, dhw, d=True, h=packed_h)
+    got = unpack_ref(xp, dhw, d=True, h=packed_h, shifted=shifted)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(x))
+
+
+@pytest.mark.parametrize("dhw", [(8, 10, 12), (7, 9, 11), (6, 9, 12)])
+@pytest.mark.parametrize("packed_h", [True, False])
+def test_unpack_conv_matches_ref(dhw, packed_h):
+    x = _rand((2, *dhw, 4))
+    xp = pack(x, d=True, h=packed_h)
+    got = unpack_conv(xp, dhw, packed_h=packed_h)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(x),
+                               atol=1e-5)
 
 
 @pytest.mark.parametrize("dhw", [(8, 10, 12), (7, 9, 11), (6, 9, 13),
                                  (5, 8, 7)])
 @pytest.mark.parametrize("packed_h", [True, False])
-def test_conv3d_packed_matches_native(dhw, packed_h):
+@pytest.mark.parametrize("in_shifted", [True, False])
+def test_conv3d_packed_matches_native(dhw, packed_h, in_shifted):
     cin, cout = 4, 5
     x = _rand((2, *dhw, cin))
     w = _rand((3, 3, 3, cin, cout), 1) * 0.2
     b = _rand((cout,), 2)
     want = conv3d(x, w, b)
-    xp = pack(x, d=True, h=packed_h)
-    yp = conv3d_packed(xp, w, b, full_spatial=dhw, packed_h=packed_h)
-    got = unpack(yp, dhw, d=True, h=packed_h)
+    xp = pack(x, d=True, h=packed_h, shifted=in_shifted)
+    yp = conv3d_packed(xp, w, b, full_spatial=dhw, packed_h=packed_h,
+                       in_shifted=in_shifted)
+    got = unpack_ref(yp, dhw, d=True, h=packed_h,
+                     shifted=not in_shifted)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=1e-4, rtol=1e-4)
 
 
-def test_conv3d_packed_composes():
-    """Two packed convs back to back == two native convs (checks the
-    pad-slot invariant: garbage in odd-size slots would leak)."""
+def test_conv3d_packed_chain_alternates():
+    """shifted -> conv -> aligned -> conv -> shifted == two native convs
+    (checks the convention flip and the boundary/pad-slot masks)."""
     dhw = (7, 9, 11)
     x = _rand((1, *dhw, 4))
     w1 = _rand((3, 3, 3, 4, 6), 1) * 0.2
     w2 = _rand((3, 3, 3, 6, 4), 2) * 0.2
     want = conv3d(conv3d(x, w1), w2)
-    xp = pack(x, d=True, h=True)
-    yp = conv3d_packed(conv3d_packed(xp, w1, full_spatial=dhw),
-                       w2, full_spatial=dhw)
-    got = unpack(yp, dhw, d=True, h=True)
+    xp = pack(x, d=True, h=True, shifted=True)
+    y1 = conv3d_packed(xp, w1, full_spatial=dhw, in_shifted=True)
+    y2 = conv3d_packed(y1, w2, full_spatial=dhw, in_shifted=False)
+    got = unpack_ref(y2, dhw, d=True, h=True, shifted=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=1e-4, rtol=1e-4)
 
@@ -81,7 +97,7 @@ def test_conv3d_packed_down_matches_native(dhw, packed_h):
     xp = pack(x, d=True, h=packed_h)
     yp = conv3d_packed_down(xp, w, b, full_spatial=dhw, packed_h=packed_h)
     out_dhw = tuple(-(-s // 2) for s in dhw)
-    got = unpack(yp, out_dhw, d=True, h=False)
+    got = unpack_ref(yp, out_dhw, d=True, h=False)
     assert got.shape == want.shape
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=1e-4, rtol=1e-4)
@@ -108,18 +124,43 @@ def test_conv3d_packed_down_unpack_matches_native(dhw):
     ((5, 3, 7), (9, 6, 13)),
 ])
 @pytest.mark.parametrize("pack_h", [True, False])
-def test_deconv3d_to_packed_matches_native(in_dhw, out_dhw, pack_h):
+@pytest.mark.parametrize("in_packed_d", [True, False])
+def test_deconv3d_packed_matches_native(in_dhw, out_dhw, pack_h,
+                                        in_packed_d):
     cin, cout = 5, 4
     x = _rand((2, *in_dhw, cin))
     w = _rand((3, 3, 3, cout, cin), 1) * 0.2
     b = _rand((cout,), 2)
     want = conv3d_transpose(x, w, b, out_spatial=out_dhw,
                             strides=(2, 2, 2), impl="dilated")
-    yp = deconv3d_to_packed(x, w, b, out_spatial=out_dhw, pack_h=pack_h)
-    got = unpack(yp, out_dhw, d=True, h=pack_h)
+    xin = pack(x, d=True, h=False) if in_packed_d else x
+    yp = deconv3d_packed(xin, w, b, out_spatial=out_dhw,
+                         in_packed_d=in_packed_d, pack_h=pack_h)
+    got = unpack_ref(yp, out_dhw, d=True, h=pack_h)
     assert got.shape == want.shape
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=1e-4, rtol=1e-4)
+
+
+def test_packed_layer_plan_matches_forward(monkeypatch):
+    """The profiler's packed layer plan reproduces the packed forward
+    exactly (so the per-layer table cannot drift from the real model)."""
+    import dataclasses
+
+    from redtail_tpu.models import STEREO_SPECS, init_stereo_params
+    from redtail_tpu.models import stereo_forward
+    from redtail_tpu.runtime.layer_profiler import stereo_layer_plan
+
+    monkeypatch.setenv("REDTAIL_TPU_PACKED3D", "1")
+    spec = dataclasses.replace(STEREO_SPECS["nvsmall"], input_hw=(34, 66),
+                               max_disp=8)
+    params = init_stereo_params(spec)
+    left = _rand((1, 34, 66, 3), 3) * 0.5 + 0.5
+    right = _rand((1, 34, 66, 3), 4) * 0.5 + 0.5
+    entries, out = stereo_layer_plan(spec, params, left, right)
+    want = np.asarray(stereo_forward(spec, params, left, right))
+    assert any("[pk]" in name for name, *_ in entries)
+    np.testing.assert_allclose(np.asarray(out), want, atol=1e-5)
 
 
 @pytest.mark.parametrize("model", ["nvtiny", "nvsmall", "resnet18"])
