@@ -1,0 +1,100 @@
+"""Flagship 2D-encoder conv variants: the resblocks are 77% of e2e at
+6.6% MFU (32 of 128 MXU lanes).  Candidates:
+
+- NCHW/NHWC layout combinations (pixels-on-lanes formulations),
+- both towers as batch 2 vs block-diagonal channel packing (64 lanes,
+  2x FLOPs),
+- conv1 (5x5 s2 from 3ch, 0.8 TFLOP/s!) as space-to-depth + 3x3,
+- a 4-resblock chain to see XLA's cross-layer fusion quality.
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+import jax.numpy as jnp
+from jax import lax
+
+from redtail_tpu.runtime import enable_compilation_cache
+from redtail_tpu.runtime.layer_profiler import device_time_fn
+
+
+def _r(shape, seed=0, dtype=jnp.bfloat16):
+    return jnp.asarray(np.random.RandomState(seed).rand(*shape) * 0.1, dtype)
+
+
+def conv(x, w, dn, strides=(1, 1), pads=((1, 1), (1, 1))):
+    return lax.conv_general_dilated(
+        x, w, strides, list(pads), dimension_numbers=dn,
+        preferred_element_type=jnp.float32).astype(x.dtype)
+
+
+def elu(x):
+    return jnp.where(x > 0, x, jnp.expm1(x.astype(jnp.float32)).astype(x.dtype))
+
+
+def main():
+    enable_compilation_cache()
+    H, W, C = 161, 513, 32
+    x = _r((1, H, W, C))
+    xc = _r((1, C, H, W), 1)
+    w = _r((3, 3, C, C), 2)
+    wo = jnp.transpose(w, (3, 2, 0, 1))  # OIHW
+    x2 = _r((2, H, W, C), 3)
+    xd = _r((1, H, W, 2 * C), 4)
+    wdiag = jnp.zeros((3, 3, 2 * C, 2 * C), jnp.bfloat16)
+    wdiag = wdiag.at[:, :, :C, :C].set(w).at[:, :, C:, C:].set(w)
+
+    img = _r((1, 321, 1025, 3), 5)
+    w1 = _r((5, 5, 3, 32), 6)
+    # conv1 as space-to-depth(2x2) + 3x3: build 12-ch input + folded kernel
+    img_pad = jnp.pad(img, ((0, 0), (0, 1), (0, 1), (0, 0)))
+    s2d = jnp.concatenate(
+        [img_pad[:, a::2, b::2][:, :161, :513]
+         for a in (0, 1) for b in (0, 1)], axis=-1)  # (161,513,12)
+    # folded kernel (3,3,12,32): tap (p,q) over s2d covers original
+    # (2p+a-?, 2q+b-?) — offsets chosen so SAME aligns; exactness is
+    # checked separately if adopted; here we measure cost only.
+    w1f = _r((3, 3, 12, 32), 7)
+
+    def resblock(a, w1_, w2_):
+        y = elu(conv(a, w1_, ("NHWC", "HWIO", "NHWC")))
+        y = conv(y, w2_, ("NHWC", "HWIO", "NHWC"))
+        return elu(y + a)
+
+    wA, wB = w, _r((3, 3, C, C), 8)
+
+    cases = [
+        ("conv_nhwc", lambda a: conv(a, w, ("NHWC", "HWIO", "NHWC")), (x,)),
+        ("conv_nhwc+bias+elu", lambda a: elu(
+            conv(a, w, ("NHWC", "HWIO", "NHWC")) + 0.1), (x,)),
+        ("conv_nchw", lambda a: conv(a, wo, ("NCHW", "OIHW", "NCHW")), (xc,)),
+        ("conv_nhwc_in_nchw_out", lambda a: conv(
+            a, w, ("NHWC", "HWIO", "NCHW")), (x,)),
+        ("conv_batch2", lambda a: conv(a, w, ("NHWC", "HWIO", "NHWC")),
+         (x2,)),
+        ("conv_blockdiag64", lambda a: conv(
+            a, wdiag, ("NHWC", "HWIO", "NHWC")), (xd,)),
+        ("conv1_5x5s2_native", lambda a: conv(
+            a, w1, ("NHWC", "HWIO", "NHWC"), strides=(2, 2),
+            pads=((1, 2), (1, 2))), (img,)),
+        ("conv1_s2d_3x3", lambda a: conv(
+            a, w1f, ("NHWC", "HWIO", "NHWC")), (s2d,)),
+        ("conv1_s2d_incl_pack", lambda a: conv(jnp.concatenate(
+            [jnp.pad(a, ((0, 0), (0, 1), (0, 1), (0, 0)))[:, p::2, q::2]
+             [:, :161, :513] for p in (0, 1) for q in (0, 1)], axis=-1),
+            w1f, ("NHWC", "HWIO", "NHWC")), (img,)),
+        ("resblock_single", lambda a: resblock(a, wA, wB), (x,)),
+        ("resblock_chain4", lambda a: resblock(resblock(resblock(
+            resblock(a, wA, wB), wA, wB), wA, wB), wA, wB), (x,)),
+    ]
+    for name, fn, args in cases:
+        sec = device_time_fn(fn, args)
+        print(f"{name:<24s} {sec * 1e3:8.3f} ms")
+
+
+if __name__ == "__main__":
+    main()
