@@ -40,7 +40,65 @@ def build_argparser():
     p.add_argument("--duration", type=float, default=10.0)
     p.add_argument("--vehicle", default="drone",
                    choices=["drone", "apmrover_rc"])
+    p.add_argument("--fcu", default="sim",
+                   help="'sim' (no wire protocol, instant arm), "
+                   "'mavlink' (full MAVLink handshake + setpoint stream "
+                   "against an in-process wire-level autopilot over real "
+                   "UDP sockets), or 'mavlink:HOST:PORT' for an external "
+                   "FCU (PX4 SITL / hardware, e.g. 127.0.0.1:14540)")
     return p
+
+
+def _setup_fcu(args, ctl, vehicle):
+    """Returns (fcu_or_None, background_stop_fn)."""
+    import numpy as np
+
+    from redtail_tpu.control import Pose
+    from redtail_tpu.control.fcu import arm_sequence
+
+    if args.fcu == "sim":
+        return None, lambda: None
+    import socket
+    import threading
+
+    from redtail_tpu.control.mavlink import (MavlinkFcu, MicroAutopilot,
+                                             UdpLink)
+    px4 = vehicle.offboard_mode_name == "OFFBOARD"
+    stop = threading.Event()
+    thread = None
+    if args.fcu == "mavlink":
+        s1 = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        s1.bind(("127.0.0.1", 0))
+        s2 = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        s2.bind(("127.0.0.1", 0))
+        p1, p2 = s1.getsockname()[1], s2.getsockname()[1]
+        s1.close()
+        s2.close()
+        fcu = MavlinkFcu(UdpLink(("127.0.0.1", p2),
+                                 local=("127.0.0.1", p1)), px4=px4)
+        ap = MicroAutopilot(UdpLink(("127.0.0.1", p1),
+                                    local=("127.0.0.1", p2)), px4=px4)
+
+        def ap_loop():
+            while not stop.is_set():
+                ap.step()
+                time.sleep(0.02)
+        thread = threading.Thread(target=ap_loop, daemon=True)
+        thread.start()
+    else:
+        host, port = args.fcu.split(":")[1:]
+        fcu = MavlinkFcu(UdpLink((host, int(port))), px4=px4)
+    ok = arm_sequence(ctl, fcu, get_pose=lambda: Pose(np.zeros(3)),
+                      retry_sec=0.5, timeout_sec=30.0)
+    if not ok:
+        raise SystemExit("FCU arming handshake failed")
+    print("FCU armed over MAVLink", file=sys.stderr)
+
+    def stop_fn():
+        stop.set()
+        if thread is not None:
+            thread.join()
+    return fcu, stop_fn
 
 
 def main(argv=None):
@@ -89,9 +147,12 @@ def main(argv=None):
     vehicle = Drone() if args.vehicle == "drone" else APMRoverRC()
     ctl = Controller(vehicle, ControllerConfig(
         spin_rate_hz=args.control_rate))
-    ctl.set_fcu_state(FcuState(mode=vehicle.offboard_mode_name, armed=True))
-    ctl.set_pose(Pose())
-    ctl.arm()
+    fcu, fcu_stop = _setup_fcu(args, ctl, vehicle)
+    if fcu is None:
+        ctl.set_fcu_state(FcuState(mode=vehicle.offboard_mode_name,
+                                   armed=True))
+        ctl.set_pose(Pose())
+        ctl.arm()
     ctl.step()  # Armed -> Takeoff
     ctl.set_pose(Pose(np.array([0.0, 0.0, 1.5])))
     ctl.step()  # -> Navigating
@@ -126,6 +187,10 @@ def main(argv=None):
     def control_stage(_disp):
         with prof.stage("controller"):
             ctl.step()
+            if fcu is not None:
+                # stream setpoints on the wire, as px4_controller's
+                # spin loop published each iteration (`:700-712`)
+                fcu.publish_setpoint(ctl.goto_pose)
         return None
     g.add_node("controller", control_stage, ["stereo/disparity"], None,
                max_rate_hz=args.control_rate)
@@ -175,13 +240,18 @@ def main(argv=None):
         src_l.stop()
         src_r.stop()
         g.stop()
+        fcu_stop()
 
     print(prof.report(), file=sys.stderr)
     stats = {name: node.processed for name, node in g.nodes.items()}
-    print(json.dumps({"frames": stats, "ai_score": ctl.ai_score,
-                      "stop_events": ctl.stop_events,
-                      "dnn_active": ctl.use_dnn,
-                      "errors": {n: v.errors for n, v in g.nodes.items()}}))
+    summary = {"frames": stats, "ai_score": ctl.ai_score,
+               "stop_events": ctl.stop_events,
+               "dnn_active": ctl.use_dnn,
+               "errors": {n: v.errors for n, v in g.nodes.items()}}
+    if fcu is not None:
+        summary["mavlink"] = {"armed": ctl.state.name,
+                              "bad_crc": fcu._deframer.bad_crc}
+    print(json.dumps(summary))
 
 
 def _default_prototxt_exists():
