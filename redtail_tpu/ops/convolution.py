@@ -422,13 +422,6 @@ def conv3d_transpose_dfold(y, w, b=None, *, out_spatial,
     n, d_in_n, h_in, w_in, c = y.shape
     lo_d, lo_h, lo_w = [tf_same_padding(X, 3, 2)[0] for X in out_spatial]
 
-    # D banding (host constant): B[t, i, o] = [o == 2 i - lo_d + t] — the
-    # transposed-conv deposit relation along D.
-    t_idx = np.arange(3)[:, None, None]
-    i_idx = np.arange(d_in_n)[None, :, None]
-    o_idx = np.arange(d_out_n)[None, None, :]
-    band = (o_idx == 2 * i_idx - lo_d + t_idx)
-
     def taps(lo, r):  # same per-dim parity taps as the shuffle impl
         if lo == 0:
             return [2, 0] if r == 0 else [None, 1]
@@ -446,17 +439,40 @@ def conv3d_transpose_dfold(y, w, b=None, *, out_spatial,
                         rows.append(wz if th is None or tw is None
                                     else w[td, th, tw])
     wh = jnp.stack(rows).reshape(2, 2, 2, 2, 3, c_out, c_in)
-    k2 = jnp.einsum("tio,xyrstck->xyikrsoc",
-                    jnp.asarray(band, w.dtype), wh)
-    k2 = k2.reshape(2, 2, d_in_n * c_in, 4 * d_out_n * c_out)
 
     y2 = jnp.transpose(y, (0, 2, 3, 1, 4)).reshape(n, h_in, w_in,
                                                    d_in_n * c_in)
-    conv = lax.conv_general_dilated(
-        y2, k2, (1, 1), [(1, 1), (1, 1)],
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=accum_dtype,
-        precision=_precision_for(y, precision))
+
+    # The D band B[t, i, o] = [o == 2i - lo_d + t] has ~3/d_in occupancy;
+    # one dense conv over all of it burns d_out/17x redundant FLOPs.
+    # Split d_out into blocks of <= 32 (keeping 4*32 = 128 output lanes):
+    # each block reads only its ~17-deep input window — a CONTIGUOUS
+    # channel slice of y2 — cutting dense FLOPs ~2.8x at NVSmall's
+    # deconv3D_3 while leaving the MXU-friendly structure intact.
+    blk = 32 if d_out_n > 48 else d_out_n
+    conv_blocks = []
+    for ob in range(0, d_out_n, blk):
+        ob_hi = min(ob + blk, d_out_n)
+        i_lo = max(0, (ob + lo_d - 2) // 2)
+        i_hi = min(d_in_n - 1, (ob_hi - 1 + lo_d) // 2)
+        t_idx = np.arange(3)[:, None, None]
+        i_idx = np.arange(i_lo, i_hi + 1)[None, :, None]
+        o_idx = np.arange(ob, ob_hi)[None, None, :]
+        band = (o_idx == 2 * i_idx - lo_d + t_idx)
+        k2 = jnp.einsum("tio,xyrstck->xyikrsoc",
+                        jnp.asarray(band, w.dtype), wh)
+        k2 = k2.reshape(2, 2, (i_hi + 1 - i_lo) * c_in,
+                        4 * (ob_hi - ob) * c_out)
+        part = lax.conv_general_dilated(
+            y2[..., i_lo * c_in:(i_hi + 1) * c_in], k2, (1, 1),
+            [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=accum_dtype,
+            precision=_precision_for(y, precision))
+        conv_blocks.append(part.reshape(n, h_in + 1, w_in + 1, 4,
+                                        ob_hi - ob, c_out))
+    conv = jnp.concatenate(conv_blocks, axis=4) if len(conv_blocks) > 1 \
+        else conv_blocks[0]
     conv = conv.reshape(n, h_in + 1, w_in + 1, 2, 2, d_out_n, c_out)
     outs = {}
     for rh in (0, 1):

@@ -80,57 +80,68 @@ def cost_volume_conv3d(left, right, w, b=None, max_disp: int = 48,
 
     cols = jnp.arange(wd)
     last_col = (cols == wd - 1).astype(jnp.float32)[None, None, :, None]
-    out = []
-    for d in range(max_disp):
-        acc = a_sum
-        if d == 0:
-            acc = acc - a[0]
-        if d == max_disp - 1:
-            acc = acc - a[2]
-        for i in range(3):
-            dp = d + i - 1  # depth tap hits volume slice d' = d + kd - 1
-            if dp < 0 or dp >= max_disp:
-                continue
-            if dp == 0:
-                acc = acc + bk[i]
-                continue
-            shifted = jnp.pad(
-                bk[i][:, :, : wd - dp], ((0, 0), (0, 0), (dp, 0), (0, 0)))
-            onehot = (cols == dp - 1).astype(jnp.float32)
-            shifted = shifted \
-                + cc[i][:, :, 0][:, :, None, :] * onehot[None, None, :, None] \
-                - cc[i][:, :, wd - dp][:, :, None, :] * last_col
-            acc = acc + shifted
-        if b is not None:
-            acc = acc + b.astype(acc.dtype)
-        if act is not None:
-            acc = act(acc)
-        out.append(acc.astype(left.dtype))
-    if emit == "dh_shifted":
-        # slot a holds originals (2a-1, 2a); boundary slots are zeros.
-        hp = (h + 1) // 2
-        zero = jnp.zeros_like(out[0][:, :1])
 
-        def h_shift(o, qh):
-            # H slot b row = 2b - 1 + qh, b in [0, Hp]:
-            # qh=0: rows -1,1,3,..  qh=1: rows 0,2,4,..
-            rows = o[:, 1::2] if qh == 0 else o[:, 0::2]
+    def d_slices(a, a_sum, bk, cc):
+        """The per-disparity accumulation (H-layout-agnostic: only W is
+        indexed, so it runs identically on H-parity-split maps)."""
+        out = []
+        for d in range(max_disp):
+            acc = a_sum
+            if d == 0:
+                acc = acc - a[0]
+            if d == max_disp - 1:
+                acc = acc - a[2]
+            for i in range(3):
+                dp = d + i - 1  # depth tap hits volume slice d' = d+kd-1
+                if dp < 0 or dp >= max_disp:
+                    continue
+                if dp == 0:
+                    acc = acc + bk[i]
+                    continue
+                shifted = jnp.pad(
+                    bk[i][:, :, : wd - dp],
+                    ((0, 0), (0, 0), (dp, 0), (0, 0)))
+                onehot = (cols == dp - 1).astype(jnp.float32)
+                shifted = shifted \
+                    + cc[i][:, :, 0][:, :, None, :] \
+                    * onehot[None, None, :, None] \
+                    - cc[i][:, :, wd - dp][:, :, None, :] * last_col
+                acc = acc + shifted
+            if b is not None:
+                acc = acc + b.astype(acc.dtype)
+            if act is not None:
+                acc = act(acc)
+            out.append(acc.astype(left.dtype))
+        return out
+
+    if emit == "dh_shifted":
+        # Split the SIX base maps into H-parity rows once (rows 2b-1+qh,
+        # Hp+1 slots, zero boundary rows), then run the disparity loop
+        # per parity — ~10 strided slices total instead of 4 per volume
+        # slice, and the pair assembly is pure channel concat.
+        hp = (h + 1) // 2
+
+        def h_split(m, qh):
+            rows = m[:, 1::2] if qh == 0 else m[:, 0::2]
             lead = 1 if qh == 0 else 0
             need = hp + 1 - lead - rows.shape[1]
-            return jnp.concatenate(
-                ([zero] if lead else []) + [rows]
-                + ([jnp.zeros_like(o[:, :need])] if need > 0 else []),
-                axis=1)
+            parts = ([jnp.zeros_like(m[:, :1])] if lead else []) + [rows]
+            if need > 0:
+                parts.append(jnp.zeros_like(m[:, :need]))
+            return jnp.concatenate(parts, axis=1)
 
-        zslice = jnp.zeros_like(out[0])
-        pairs = []
-        for a in range((max_disp + 1) // 2 + 1):
-            quads = []
-            for qh in (0, 1):
-                for qd in (0, 1):
-                    d = 2 * a - 1 + qd
-                    o = out[d] if 0 <= d < max_disp else zslice
-                    quads.append(h_shift(o, qh))
-            pairs.append(jnp.concatenate(quads, axis=-1))
+        outs = [d_slices([h_split(t, qh) for t in a],
+                         h_split(a_sum, qh),
+                         [h_split(t, qh) for t in bk],
+                         [h_split(t, qh) for t in cc])
+                for qh in (0, 1)]
+        zslice = jnp.zeros_like(outs[0][0])
+
+        def at(qh, d):
+            return outs[qh][d] if 0 <= d < max_disp else zslice
+
+        pairs = [jnp.concatenate(
+            [at(qh, 2 * ad - 1 + qd) for qh in (0, 1) for qd in (0, 1)],
+            axis=-1) for ad in range((max_disp + 1) // 2 + 1)]
         return jnp.stack(pairs, axis=1)  # (N, Dp+1, Hp+1, W, 4K)
-    return jnp.stack(out, axis=1)  # (N, D, H, W, K)
+    return jnp.stack(d_slices(a, a_sum, bk, cc), axis=1)  # (N, D, H, W, K)
