@@ -78,8 +78,16 @@ def cost_volume_conv3d(left, right, w, b=None, max_disp: int = 48,
     cc = [_conv2d_nhwc(right, w_r[i][:, 2:3], precision=precision)
           for i in range(3)]  # each (N, H, W, K) fp32
 
+    # The conv accumulations above stay fp32; the D-loop below is pure
+    # adds of full maps — in the model's own dtype the loop's HBM
+    # traffic halves (bf16) with only add-rounding at stake.
+    a = [t.astype(left.dtype) for t in a]
+    a_sum = a_sum.astype(left.dtype)
+    bk = [t.astype(left.dtype) for t in bk]
+    cc = [t.astype(left.dtype) for t in cc]
+
     cols = jnp.arange(wd)
-    last_col = (cols == wd - 1).astype(jnp.float32)[None, None, :, None]
+    last_col = (cols == wd - 1).astype(left.dtype)[None, None, :, None]
 
     def d_slices(a, a_sum, bk, cc):
         """The per-disparity accumulation (H-layout-agnostic: only W is
@@ -101,7 +109,7 @@ def cost_volume_conv3d(left, right, w, b=None, max_disp: int = 48,
                 shifted = jnp.pad(
                     bk[i][:, :, : wd - dp],
                     ((0, 0), (0, 0), (dp, 0), (0, 0)))
-                onehot = (cols == dp - 1).astype(jnp.float32)
+                onehot = (cols == dp - 1).astype(acc.dtype)
                 shifted = shifted \
                     + cc[i][:, :, 0][:, :, None, :] \
                     * onehot[None, None, :, None] \

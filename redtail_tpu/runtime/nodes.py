@@ -27,7 +27,8 @@ class StereoNode:
     def __init__(self, spec, params, *, dtype=jnp.bfloat16,
                  quantize: Optional[str] = None,
                  calib_frames=None,
-                 profiler: Optional[StageProfiler] = None):
+                 profiler: Optional[StageProfiler] = None,
+                 device=None):
         """``quantize='w8'`` stores conv weights as per-channel int8 and
         dequantizes once at load — the weight-only rung of the reference's
         FP32/FP16/INT8 ladder (4x smaller weights at rest; accuracy gated
@@ -35,7 +36,13 @@ class StereoNode:
         runs the 2D conv stacks as calibrated int8 x int8 -> int32 on the
         MXU (the reference's INT8 engine mode, `tensor_net.cpp:92-119`);
         supply ``calib_frames`` as (left, right) uint8 BGR pairs — they
-        are preprocessed exactly like serving inputs."""
+        are preprocessed exactly like serving inputs.
+
+        ``device``: optional `jax.Device` to pin this stage to — the
+        multi-chip analogue of the reference's one-ROS-process-per-DNN
+        pipeline parallelism (SURVEY §2.4: stages pinned to devices,
+        frames crossing via ICI).  Default: the runtime's default
+        device."""
         from redtail_tpu.models import stereo_forward
 
         self.spec = spec
@@ -105,25 +112,34 @@ class StereoNode:
             return disp.astype(jnp.float32)
 
         self._fn = jax.jit(run)
+        self._device = device
+        if device is not None:
+            params = jax.device_put(params, device)
         self._params = params
+
+    def _put(self, x):
+        return jax.device_put(jnp.asarray(x), self._device) \
+            if self._device is not None else jnp.asarray(x)
 
     def __call__(self, left_u8, right_u8) -> np.ndarray:
         if left_u8.ndim == 3:
             left_u8, right_u8 = left_u8[None], right_u8[None]
         with self.profiler.stage(f"stereo/{self.spec.name}"):
-            out = np.asarray(self._fn(self._params, jnp.asarray(left_u8),
-                                      jnp.asarray(right_u8)))
+            out = np.asarray(self._fn(self._params, self._put(left_u8),
+                                      self._put(right_u8)))
         return out[0]
 
 
 class TrailNetNode:
     """TrailNet stage: BGR uint8 frame -> 6 probabilities."""
 
-    def __init__(self, net=None, *, profiler: Optional[StageProfiler] = None):
+    def __init__(self, net=None, *, profiler: Optional[StageProfiler] = None,
+                 device=None):
         from redtail_tpu.models.trailnet import INPUT_HW, load_trailnet
 
         self.net = net if net is not None else load_trailnet()
         self.profiler = profiler or StageProfiler()
+        self._device = device
         h, w = INPUT_HW
 
         def run(frame_u8):
@@ -139,8 +155,11 @@ class TrailNetNode:
         self._fn = jax.jit(run)
 
     def __call__(self, frame_u8) -> np.ndarray:
+        x = jnp.asarray(frame_u8)
+        if self._device is not None:
+            x = jax.device_put(x, self._device)
         with self.profiler.stage("trailnet"):
-            return np.asarray(self._fn(jnp.asarray(frame_u8)))[0]
+            return np.asarray(self._fn(x))[0]
 
 
 class YoloNode:
@@ -148,11 +167,13 @@ class YoloNode:
 
     def __init__(self, net, *, prob_threshold: float = 0.15,
                  iou_threshold: float = 0.2,
-                 profiler: Optional[StageProfiler] = None):
+                 profiler: Optional[StageProfiler] = None,
+                 device=None):
         self.net = net
         self.prob_threshold = prob_threshold
         self.iou_threshold = iou_threshold
         self.profiler = profiler or StageProfiler()
+        self._device = device
 
         def run(frame_u8):
             x = frame_u8.astype(jnp.float32)
@@ -169,8 +190,11 @@ class YoloNode:
 
         h, w = frame_u8.shape[:2] if frame_u8.ndim == 3 \
             else frame_u8.shape[1:3]
+        x = jnp.asarray(frame_u8)
+        if self._device is not None:
+            x = jax.device_put(x, self._device)
         with self.profiler.stage("yolo/dnn"):
-            raw = np.asarray(self._fn(jnp.asarray(frame_u8)))[0]
+            raw = np.asarray(self._fn(x))[0]
         with self.profiler.stage("yolo/postproc"):
             return yolo.postprocess(raw, w, h,
                                     prob_threshold=self.prob_threshold,

@@ -266,3 +266,39 @@ def test_restart_wedged_node_no_double_publisher():
     finally:
         release.set()
         g.stop()
+
+
+def test_stage_device_pinning():
+    """Each DNN stage pinned to its own device (the multi-chip analogue
+    of the reference's one-ROS-process-per-DNN pipeline, SURVEY §2.4):
+    outputs must be correct and computed on the assigned device."""
+    import dataclasses
+
+    import jax
+    import numpy as np
+
+    from redtail_tpu.models import STEREO_SPECS, init_stereo_params
+    from redtail_tpu.runtime.nodes import StereoNode, TrailNetNode
+
+    devs = jax.devices()
+    assert len(devs) >= 2
+    spec = dataclasses.replace(STEREO_SPECS["nvtiny"], input_hw=(32, 64),
+                               max_disp=4)
+    params = init_stereo_params(spec)
+    stereo = StereoNode(spec, params, device=devs[1])
+    frame = np.random.RandomState(0).randint(
+        0, 255, (32, 64, 3), np.uint8)
+    out = stereo(frame, frame)
+    assert out.shape == (32, 64) and np.isfinite(out).all()
+    assert devs[1] in stereo._params["encoder2D"]["conv1"][
+        "weights"].devices()
+
+    trail = TrailNetNode(device=devs[2]) if _trailnet_available() else None
+    if trail is not None:
+        probs = trail(np.zeros((180, 320, 3), np.uint8))
+        assert probs.shape == (6,)
+
+
+def _trailnet_available():
+    from redtail_tpu.models.trailnet import DEFAULT_PROTOTXT
+    return DEFAULT_PROTOTXT.exists()
