@@ -67,17 +67,15 @@ def _setup_fcu(args, ctl, vehicle):
     stop = threading.Event()
     thread = None
     if args.fcu == "mavlink":
+        # bind both sockets ONCE and hand them over (no close/rebind
+        # window for another process to steal the ports)
         s1 = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
         s1.bind(("127.0.0.1", 0))
         s2 = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
         s2.bind(("127.0.0.1", 0))
         p1, p2 = s1.getsockname()[1], s2.getsockname()[1]
-        s1.close()
-        s2.close()
-        fcu = MavlinkFcu(UdpLink(("127.0.0.1", p2),
-                                 local=("127.0.0.1", p1)), px4=px4)
-        ap = MicroAutopilot(UdpLink(("127.0.0.1", p1),
-                                    local=("127.0.0.1", p2)), px4=px4)
+        fcu = MavlinkFcu(UdpLink(("127.0.0.1", p2), sock=s1), px4=px4)
+        ap = MicroAutopilot(UdpLink(("127.0.0.1", p1), sock=s2), px4=px4)
 
         def ap_loop():
             while not stop.is_set():
@@ -175,9 +173,12 @@ def main(argv=None):
     if yolo is not None:
         g.add_node("yolo", yolo, ["camera/left"],
                    "object_dnn/network/output", max_rate_hz=args.yolo_rate)
+    if yolo is not None or args.demo_person_stop is not None:
         # Detections route to the controller via the topic, mirroring
         # px4_controller's objDnnCallback subscription
         # (`px4_controller.cpp:280-349`, `everything.launch:40-62`).
+        # Wired whenever anything can publish detections — including the
+        # --demo-person-stop injection with YOLO absent.
         def objstop_stage(dets):
             ctl.on_objects(dets)
             return None

@@ -38,6 +38,7 @@ from redtail_tpu.control.fcu import FcuInterface
 from redtail_tpu.control.geometry import quat_yaw
 
 MAGIC_V1 = 0xFE
+MAGIC_V2 = 0xFD
 
 # ------------------------------------------------------------------ CRC
 
@@ -152,9 +153,13 @@ def pack_frame(msg: MessageDef, seq: int, sysid: int, compid: int,
 class Deframer:
     """Incremental stream parser: bytes in, (msgid, fields, sysid) out.
 
-    Resynchronizes on garbage and drops frames with bad checksums or
-    unknown message ids (unknown ids can't be CRC-checked without their
-    CRC_EXTRA — same policy as the upstream C parser).
+    Accepts BOTH MAVLink 1 (0xFE) and MAVLink 2 (0xFD) frames — modern
+    PX4 links speak v2 unprompted, with payload zero-truncation and a
+    3-byte message id; unsigned frames only (signed v2 frames fail the
+    length check and are skipped).  Resynchronizes on garbage and drops
+    frames with bad checksums or unknown message ids (unknown ids can't
+    be CRC-checked without their CRC_EXTRA — same policy as the
+    upstream C parser).
     """
 
     def __init__(self):
@@ -165,32 +170,49 @@ class Deframer:
         self._buf.extend(data)
         out = []
         while True:
-            start = self._buf.find(bytes([MAGIC_V1]))
-            if start < 0:
+            start = len(self._buf)
+            for magic in (MAGIC_V1, MAGIC_V2):
+                i = self._buf.find(bytes([magic]))
+                if 0 <= i < start:
+                    start = i
+            if start >= len(self._buf):
                 self._buf.clear()
                 return out
             del self._buf[:start]
-            if len(self._buf) < 8:
+            v2 = self._buf[0] == MAGIC_V2
+            header = 10 if v2 else 6
+            if len(self._buf) < header + 2:
                 return out
             length = self._buf[1]
-            total = 6 + length + 2
+            total = header + length + 2
             if len(self._buf) < total:
                 return out
             frame = bytes(self._buf[:total])
-            msgid = frame[5]
+            if v2:
+                msgid = frame[7] | (frame[8] << 8) | (frame[9] << 16)
+                sysid = frame[5]
+            else:
+                msgid = frame[5]
+                sysid = frame[3]
             msg = MESSAGES.get(msgid)
+            full = struct.calcsize(msg.fmt) if msg is not None else -1
             ok = False
-            if msg is not None and length == struct.calcsize(msg.fmt):
-                crc = x25_crc(frame[1:6 + length])
+            if msg is not None and (length == full
+                                    or (v2 and 0 < length <= full)):
+                crc = x25_crc(frame[1:header + length])
                 crc = x25_crc(bytes([msg.crc_extra]), crc)
-                ok = crc == struct.unpack("<H", frame[-2:])[0]
+                ok = crc == struct.unpack(
+                    "<H", frame[header + length:total])[0]
             if not ok:
                 self.bad_crc += msg is not None
                 del self._buf[:1]  # resync after the magic byte
                 continue
+            payload = frame[header:header + length]
+            if v2 and length < full:   # v2 zero-truncation
+                payload = payload + b"\x00" * (full - length)
             vals = dict(zip((n for n, _ in msg.wire_fields),
-                            struct.unpack(msg.fmt, frame[6:6 + length])))
-            out.append((msgid, vals, frame[3]))
+                            struct.unpack(msg.fmt, payload)))
+            out.append((msgid, vals, sysid))
             del self._buf[:total]
 
 
@@ -221,13 +243,17 @@ class _LoopEnd:
 
 
 class UdpLink:
-    """UDP transport (the standard PX4 SITL link, e.g. 127.0.0.1:14540)."""
+    """UDP transport (the standard PX4 SITL link, e.g. 127.0.0.1:14540).
+
+    ``sock``: optionally pass an already-bound datagram socket (avoids
+    the probe-close-rebind port race when pairing two in-process ends)."""
 
     def __init__(self, remote: Tuple[str, int],
-                 local: Optional[Tuple[str, int]] = None):
+                 local: Optional[Tuple[str, int]] = None, *, sock=None):
         import socket
-        self._sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
-        if local is not None:
+        self._sock = sock or socket.socket(socket.AF_INET,
+                                           socket.SOCK_DGRAM)
+        if sock is None and local is not None:
             self._sock.bind(local)
         self._sock.setblocking(False)
         self._remote = remote
@@ -331,12 +357,20 @@ class MavlinkFcu(FcuInterface):
         return True
 
     def arm(self) -> bool:
-        self._acks.pop(MAV_CMD_COMPONENT_ARM_DISARM, None)
         self._send(COMMAND_LONG, target_system=self.target_system,
                    target_component=self.target_component,
                    command=MAV_CMD_COMPONENT_ARM_DISARM, confirmation=0,
                    param1=1.0)
-        self._pump()
+        # The ACK is asynchronous on a real link: poll briefly (bounded
+        # by iterations, not wall-clock, so injected test clocks cannot
+        # hang it), and do NOT discard late ACKs — a previous attempt's
+        # accepted ACK still answers this one truthfully (the armed
+        # state itself is authoritative from HEARTBEAT either way).
+        for _ in range(25):
+            self._pump()
+            if MAV_CMD_COMPONENT_ARM_DISARM in self._acks:
+                break
+            time.sleep(0.002)
         return self._acks.get(MAV_CMD_COMPONENT_ARM_DISARM) \
             == MAV_RESULT_ACCEPTED
 

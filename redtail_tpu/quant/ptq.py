@@ -193,6 +193,29 @@ def quantize_stereo_params_w8(params) -> Dict:
     return q(params)
 
 
+def dequantize_tree(params, dtype=None) -> Dict:
+    """Inverse of `quantize_stereo_params_w8`: every
+    {'weights_q', 'w_scale'} leaf becomes a float 'weights' leaf again
+    (optionally cast to ``dtype``).  The single walker shared by the
+    serving node and the CLI so the quantized-leaf schema has one
+    consumer to keep in sync."""
+    def dq(node):
+        out = {}
+        for k, v in node.items():
+            if isinstance(v, dict) and "weights_q" in v:
+                w = jnp.asarray(dequantize(np.asarray(v["weights_q"]),
+                                           np.asarray(v["w_scale"])))
+                if dtype is not None:
+                    w = w.astype(dtype)
+                out[k] = {"weights": w, "biases": v["biases"]}
+            elif isinstance(v, dict):
+                out[k] = dq(v)
+            else:
+                out[k] = v
+        return out
+    return dq(params)
+
+
 # ------------------------------------------------ Caffe-graph INT8 path
 
 

@@ -82,7 +82,8 @@ def stereo_layer_plan(spec, params, left, right):
         return x, conv1
 
     if spec.encoder2d == "resnet18" and S.use_fused_towers() \
-            and S._conv_tap is None:
+            and S._conv_tap is None \
+            and not S._has_quantized(params["encoder2D"]):
         from redtail_tpu.models.stereo import _blockdiag
 
         def fused_c2d(p, a, *, stride=1, act=None):

@@ -65,23 +65,8 @@ class StereoNode:
             params = quantize_stereo_params_int8(params, scales)
         elif quantize == "w8":
             from redtail_tpu.quant import quantize_stereo_params_w8
-            from redtail_tpu.quant.ptq import dequantize
-            qp = quantize_stereo_params_w8(params)
-
-            def dq(node):
-                out = {}
-                for k, v in node.items():
-                    if isinstance(v, dict) and "weights_q" in v:
-                        out[k] = {"weights": jnp.asarray(dequantize(
-                            np.asarray(v["weights_q"]),
-                            np.asarray(v["w_scale"]))),
-                            "biases": v["biases"]}
-                    elif isinstance(v, dict):
-                        out[k] = dq(v)
-                    else:
-                        out[k] = v
-                return out
-            params = dq(qp)
+            from redtail_tpu.quant.ptq import dequantize_tree
+            params = dequantize_tree(quantize_stereo_params_w8(params))
         elif quantize is not None:
             raise ValueError(f"unknown quantize mode {quantize!r}")
 

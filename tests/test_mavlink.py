@@ -78,6 +78,39 @@ def test_deframer_rejects_corruption_and_resyncs():
     assert d.bad_crc >= 1
 
 
+def test_deframer_parses_mavlink2_frames():
+    """PX4 links speak MAVLink 2 unprompted: 0xFD magic, 3-byte msgid,
+    zero-truncated payloads. The deframer must accept them (the
+    reference talked to PX4 through MAVROS, which negotiates v2)."""
+    import struct
+
+    from redtail_tpu.control.mavlink import x25_crc
+
+    def pack_v2(msg, seq, sysid, compid, values):
+        payload = struct.pack(
+            msg.fmt, *(values.get(n, 0) for n, _ in msg.wire_fields))
+        trimmed = payload.rstrip(b"\x00") or payload[:1]
+        header = struct.pack("<BBBBBBBBBB", 0xFD, len(trimmed), 0, 0,
+                             seq & 0xFF, sysid, compid,
+                             msg.msgid & 0xFF, (msg.msgid >> 8) & 0xFF,
+                             (msg.msgid >> 16) & 0xFF)
+        crc = x25_crc(header[1:] + trimmed)
+        crc = x25_crc(bytes([msg.crc_extra]), crc)
+        return header + trimmed + struct.pack("<H", crc)
+
+    hb = pack_v2(HEARTBEAT, 0, 1, 1, dict(
+        type=2, autopilot=12, base_mode=129, custom_mode=6 << 16,
+        system_status=4, mavlink_version=3))
+    ack = pack_v2(COMMAND_ACK, 1, 1, 1, dict(command=400, result=0))
+    d = Deframer()
+    msgs = d.feed(hb + b"\x91junk" + ack)
+    assert [m[0] for m in msgs] == [HEARTBEAT.msgid, COMMAND_ACK.msgid]
+    assert msgs[0][1]["custom_mode"] == 6 << 16
+    assert msgs[0][1]["base_mode"] == 129
+    assert msgs[1][1]["command"] == 400 and msgs[1][1]["result"] == 0
+    assert msgs[0][2] == 1  # sysid from the v2 header position
+
+
 def test_arm_sequence_over_the_wire():
     """Full byte-level handshake: MavlinkFcu <-> MicroAutopilot through
     the loopback link, driven by the same `arm_sequence` the reference

@@ -28,6 +28,21 @@ def _rand(shape, seed=0):
                        jnp.float32)
 
 
+def _randomize_biases(params, seed=7):
+    """init_stereo_params zeros biases; real checkpoints don't. The
+    packed emission once wrote elu(bias) into its zero boundary slots —
+    caught only with nonzero biases, so parity gates must use them."""
+    rs = np.random.RandomState(seed)
+
+    def walk(node):
+        return {k: (jnp.asarray(rs.randn(*v.shape) * 0.1, v.dtype)
+                    if k == "biases" else
+                    walk(v) if isinstance(v, dict) else v)
+                for k, v in node.items()}
+
+    return walk(params)
+
+
 @pytest.mark.parametrize("dhw", [(8, 10, 12), (7, 9, 11), (6, 9, 12),
                                  (5, 6, 7)])
 @pytest.mark.parametrize("packed_h", [True, False])
@@ -153,7 +168,7 @@ def test_fused_towers_match_per_tower(monkeypatch):
     for model in ("resnet18_2d", "resnet18"):
         spec = dataclasses.replace(STEREO_SPECS[model], input_hw=(34, 66),
                                    max_disp=8)
-        params = init_stereo_params(spec)
+        params = _randomize_biases(init_stereo_params(spec))
         left = _rand((1, 34, 66, 3), 3) * 0.5 + 0.5
         right = _rand((1, 34, 66, 3), 4) * 0.5 + 0.5
         monkeypatch.setenv("REDTAIL_TPU_FUSED_TOWERS", "0")
@@ -177,7 +192,7 @@ def test_packed_layer_plan_matches_forward(monkeypatch):
     monkeypatch.setenv("REDTAIL_TPU_PACKED3D", "1")
     spec = dataclasses.replace(STEREO_SPECS["nvsmall"], input_hw=(34, 66),
                                max_disp=8)
-    params = init_stereo_params(spec)
+    params = _randomize_biases(init_stereo_params(spec))
     left = _rand((1, 34, 66, 3), 3) * 0.5 + 0.5
     right = _rand((1, 34, 66, 3), 4) * 0.5 + 0.5
     entries, out = stereo_layer_plan(spec, params, left, right)
@@ -189,7 +204,7 @@ def test_packed_layer_plan_matches_forward(monkeypatch):
     monkeypatch.setenv("REDTAIL_TPU_FUSED_TOWERS", "1")
     spec2 = dataclasses.replace(STEREO_SPECS["resnet18_2d"],
                                 input_hw=(34, 66), max_disp=8)
-    params2 = init_stereo_params(spec2)
+    params2 = _randomize_biases(init_stereo_params(spec2))
     entries2, out2 = stereo_layer_plan(spec2, params2, left, right)
     want2 = np.asarray(stereo_forward(spec2, params2, left, right))
     assert any("[bd]" in name for name, *_ in entries2)
@@ -207,7 +222,7 @@ def test_packed_head_matches_native_forward(model, monkeypatch):
 
     spec = dataclasses.replace(STEREO_SPECS[model], input_hw=(34, 66),
                                max_disp=8)
-    params = init_stereo_params(spec)
+    params = _randomize_biases(init_stereo_params(spec))
     left = _rand((1, 34, 66, 3), 3) * 0.5 + 0.5
     right = _rand((1, 34, 66, 3), 4) * 0.5 + 0.5
 

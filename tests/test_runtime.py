@@ -281,7 +281,9 @@ def test_stage_device_pinning():
     from redtail_tpu.runtime.nodes import StereoNode, TrailNetNode
 
     devs = jax.devices()
-    assert len(devs) >= 2
+    if len(devs) < 3:
+        import pytest
+        pytest.skip("needs >= 3 devices (conftest provides 8 virtual)")
     spec = dataclasses.replace(STEREO_SPECS["nvtiny"], input_hw=(32, 64),
                                max_disp=4)
     params = init_stereo_params(spec)
