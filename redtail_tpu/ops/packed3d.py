@@ -348,7 +348,8 @@ def deconv3d_packed(x, w, b=None, *, out_spatial, in_packed_d: bool,
 
     k = _kernel(w, A_d, A_h, A_w, transposed=True)
     out = _conv(x, k, (1, 1, 1), [pad_d, pad_h, pad_w],
-                (dil_d, dil_h, 2), accum_dtype, precision)
+                (dil_d, dil_h, 2), accum_dtype,
+                precision).astype(x.dtype)
     groups = 4 if pack_h else 2
     out = _bias(out, b, groups)
     co = out.shape[-1] // groups

@@ -180,6 +180,35 @@ def test_fused_towers_match_per_tower(monkeypatch):
         np.testing.assert_allclose(got, want, atol=2e-3, rtol=1e-4)
 
 
+def test_fused_towers_fall_back_for_quantized_params(monkeypatch):
+    """INT8 leaves need per-layer boundaries: _encode_pair must take the
+    per-tower branch (never the block-diagonal one) when any encoder
+    leaf is quantized, even with fused towers forced on."""
+    import dataclasses
+
+    from redtail_tpu.models import STEREO_SPECS, init_stereo_params
+    from redtail_tpu.models import stereo as S
+    from redtail_tpu.quant.stereo_int8 import (calibrate_stereo,
+                                               quantize_stereo_params_int8)
+
+    monkeypatch.setenv("REDTAIL_TPU_FUSED_TOWERS", "1")
+    spec = dataclasses.replace(STEREO_SPECS["resnet18_2d"],
+                               input_hw=(34, 66), max_disp=8)
+    params = init_stereo_params(spec)
+    left = np.asarray(_rand((34, 66, 3), 3) * 0.5 + 0.5)
+    right = np.asarray(_rand((34, 66, 3), 4) * 0.5 + 0.5)
+    scales = calibrate_stereo(spec, params, [(left, right)])
+    qparams = quantize_stereo_params_int8(params, scales)
+    assert S._has_quantized(qparams["encoder2D"])
+
+    def boom(*a, **k):
+        raise AssertionError("fused towers must not run on int8 leaves")
+    monkeypatch.setattr(S, "_fused_resnet_towers", boom)
+    out = S.stereo_forward(spec, qparams, jnp.asarray(left)[None],
+                           jnp.asarray(right)[None])
+    assert np.isfinite(np.asarray(out)).all()
+
+
 def test_packed_layer_plan_matches_forward(monkeypatch):
     """The profiler's packed layer plan reproduces the packed forward
     exactly (so the per-layer table cannot drift from the real model)."""
