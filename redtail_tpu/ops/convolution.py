@@ -401,7 +401,8 @@ def conv3d_transpose_shuffle(y, w, b=None, *, out_spatial,
 
 
 def conv3d_transpose_dfold(y, w, b=None, *, out_spatial,
-                           accum_dtype=jnp.float32, precision=None):
+                           accum_dtype=jnp.float32, precision=None,
+                           d_packed: bool = False):
     """TF conv3d_transpose (k=3, s=2, SAME) with the D axis folded into
     channels: ONE k=2 conv2d whose output channels enumerate
     (H-parity, W-parity, d_out, c_out) and whose input channels are
@@ -420,6 +421,12 @@ def conv3d_transpose_dfold(y, w, b=None, *, out_spatial,
     assert (kd, kh, kw) == (3, 3, 3), "dfold impl assumes k=3"
     d_out_n, h_out, w_out = out_spatial
     n, d_in_n, h_in, w_in, c = y.shape
+    if d_packed:
+        # y is the packed3d (pd, c) layout: its D-to-channels transpose
+        # below produces channels ordered (d2, pd, c) — exactly the
+        # d-major (d, c) order the banded weights index, so the only
+        # change is the TRUE depth/channel bookkeeping.
+        d_in_n, c = 2 * d_in_n, c // 2
     lo_d, lo_h, lo_w = [tf_same_padding(X, 3, 2)[0] for X in out_spatial]
 
     def taps(lo, r):  # same per-dim parity taps as the shuffle impl

@@ -167,6 +167,27 @@ def unpack_ref(x, full_spatial, *, d: bool = True, h: bool = False,
     return x
 
 
+def unpack_h_conv(xp, full_spatial, *, accum_dtype=jnp.float32,
+                  precision=None):
+    """Unpack ONLY the H axis of a DH-packed tensor (identity-weight
+    lhs-dilated conv): (N, Dp, Hp, W, 4C) -> (N, Dp, H, W, 2C) with
+    (pd, c) channels kept packed.  Used before the final dfold deconv,
+    whose internal D-to-channels transpose consumes the D-packed form
+    directly (d = 2*d2 + pd is exactly its d-major channel order)."""
+    D, H, W = full_spatial
+    C4 = xp.shape[-1]
+    C = C4 // 4
+    kd = np.zeros((1, 2, 1, C4, 2 * C), np.float32)
+    for ph in range(2):
+        for pd in range(2):
+            for c in range(C):
+                kd[0, 1 - ph, 0, (ph * 2 + pd) * C + c, pd * C + c] = 1.0
+    k = jnp.asarray(kd, xp.dtype)
+    out = _conv(xp, k, (1, 1, 1), [(0, 0), (1, 1), (0, 0)],
+                (1, 2, 1), accum_dtype, precision)
+    return out[:, :, :H].astype(xp.dtype)
+
+
 def unpack_conv(xp, full_spatial, *, packed_h: bool = False,
                 accum_dtype=jnp.float32, precision=None):
     """Depth-to-space as an identity-weight lhs-dilated conv (the only

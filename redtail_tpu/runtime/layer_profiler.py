@@ -256,15 +256,33 @@ def _packed_plan(spec, params, fl, fr, full_hw, run, entries):
                         pack_h=(sl == "dh")) + s_), x, sk)
             layout, spatial = sk_layout, sk_spatial
         else:
+            import jax as _jax
+
+            from redtail_tpu.ops.convolution import conv3d_transpose_dfold
             target = (spec.full_max_disp, h_full, w_full)
-            if layout != "none":
-                x = run("unpack[pk]",
-                        lambda a, sp=spatial, lay=layout: P.unpack_conv(
-                            a, sp, packed_h=(lay == "dh")), x)
-            x = run(name, lambda a, p=p, target=target:
-                    conv3d_transpose(a, p["weights"], p["biases"],
-                                     out_spatial=target, strides=(2, 2, 2)),
-                    x)
+            c_out = p["weights"].shape[3]
+            use_dfold = (_jax.default_backend() == "tpu" and c_out == 1
+                         and p["weights"].shape[:3] == (3, 3, 3)
+                         and layout in ("d", "dh"))
+            if use_dfold:
+                if layout == "dh":
+                    x = run("unpack_h[pk]",
+                            lambda a, sp=spatial: P.unpack_h_conv(a, sp),
+                            x)
+                x = run(f"{name}[pk]", lambda a, p=p, target=target:
+                        conv3d_transpose_dfold(
+                            a, p["weights"], p["biases"],
+                            out_spatial=target, d_packed=True), x)
+            else:
+                if layout != "none":
+                    x = run("unpack[pk]",
+                            lambda a, sp=spatial, lay=layout:
+                            P.unpack_conv(a, sp,
+                                          packed_h=(lay == "dh")), x)
+                x = run(name, lambda a, p=p, target=target:
+                        conv3d_transpose(a, p["weights"], p["biases"],
+                                         out_spatial=target,
+                                         strides=(2, 2, 2)), x)
             layout = "none"
     out = run("softargmin", lambda a: softargmin(a, axis=1)[..., 0], x)
     return entries, out

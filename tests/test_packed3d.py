@@ -65,6 +65,39 @@ def test_unpack_conv_matches_ref(dhw, packed_h):
                                atol=1e-5)
 
 
+@pytest.mark.parametrize("dhw", [(8, 10, 12), (7, 9, 11), (6, 9, 12)])
+def test_unpack_h_conv_matches_ref(dhw):
+    from redtail_tpu.ops.packed3d import unpack_h_conv
+
+    x = _rand((2, *dhw, 4))
+    xp = pack(x, d=True, h=True)
+    got = unpack_h_conv(xp, dhw)         # -> D-packed only
+    want = pack(x, d=True, h=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5)
+
+
+@pytest.mark.parametrize("out_spatial,in_d", [((96, 7, 9), 48),
+                                              ((67, 6, 8), 34),
+                                              ((12, 9, 11), 6)])
+def test_dfold_d_packed_matches_unpacked(out_spatial, in_d):
+    """dfold consuming the packed3d D-packed layout directly == dfold on
+    the unpacked tensor (its transpose's d-major channel order is the
+    packed (d2, pd, c) order)."""
+    from redtail_tpu.ops.convolution import conv3d_transpose_dfold
+
+    in_dhw = (in_d, -(-out_spatial[1] // 2), -(-out_spatial[2] // 2))
+    x = _rand((2, *in_dhw, 3))
+    w = _rand((3, 3, 3, 1, 3), 1) * 0.2
+    b = _rand((1,), 2)
+    want = conv3d_transpose_dfold(x, w, b, out_spatial=out_spatial)
+    xp = pack(x, d=True, h=False)
+    got = conv3d_transpose_dfold(xp, w, b, out_spatial=out_spatial,
+                                 d_packed=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-4, rtol=1e-4)
+
+
 @pytest.mark.parametrize("dhw", [(8, 10, 12), (7, 9, 11), (6, 9, 13),
                                  (5, 8, 7)])
 @pytest.mark.parametrize("packed_h", [True, False])
@@ -207,6 +240,28 @@ def test_fused_towers_fall_back_for_quantized_params(monkeypatch):
     out = S.stereo_forward(spec, qparams, jnp.asarray(left)[None],
                            jnp.asarray(right)[None])
     assert np.isfinite(np.asarray(out)).all()
+
+
+@pytest.mark.parametrize("model", ["nvtiny", "nvsmall", "resnet18"])
+def test_full_tpu_configuration_on_cpu(model, monkeypatch):
+    """Patch the backend name so EVERY TPU default engages at once
+    (packed 3D stack, fused towers, dfold-from-packed final deconv) and
+    gate the whole TPU-configured forward against the plain path on CPU
+    — covers branch combinations the env-flag tests can't reach."""
+    import dataclasses
+
+    from redtail_tpu.models import STEREO_SPECS, init_stereo_params
+    from redtail_tpu.models import stereo as S
+
+    spec = dataclasses.replace(STEREO_SPECS[model], input_hw=(34, 66),
+                               max_disp=8)
+    params = _randomize_biases(init_stereo_params(spec))
+    left = _rand((1, 34, 66, 3), 3) * 0.5 + 0.5
+    right = _rand((1, 34, 66, 3), 4) * 0.5 + 0.5
+    want = np.asarray(S.stereo_forward(spec, params, left, right))
+    monkeypatch.setattr(S.jax, "default_backend", lambda: "tpu")
+    got = np.asarray(S.stereo_forward(spec, params, left, right))
+    np.testing.assert_allclose(got, want, atol=2e-3, rtol=1e-4)
 
 
 def test_packed_layer_plan_matches_forward(monkeypatch):
