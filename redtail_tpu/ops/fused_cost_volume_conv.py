@@ -63,20 +63,32 @@ def cost_volume_conv3d(left, right, w, b=None, max_disp: int = 48,
     w_l = w[:, :, :, :c, :]
     w_r = w[:, :, :, c:, :]
 
-    # Left half: 3 taps' conv2d; interior d uses the depth-summed kernel.
-    a = [_conv2d_nhwc(left, w_l[i], precision=precision) for i in range(3)]
+    # Left half: the 3 depth taps' conv2d run as ONE conv with the tap
+    # kernels concatenated on output channels (3x32 = 96 lanes instead
+    # of three 32-lane convs), then channel-sliced; interior d uses the
+    # depth-summed kernel.
+    la = _conv2d_nhwc(left, jnp.concatenate([w_l[i] for i in range(3)],
+                                            axis=3), precision=precision)
+    a = [la[..., i * k_out:(i + 1) * k_out] for i in range(3)]
     a_sum = a[0] + a[1] + a[2]
 
-    # Right half taps.
-    bk = [_conv2d_nhwc(right, w_r[i], precision=precision) for i in range(3)]
-    # Boundary corrections. conv2d(shift(right, d')) differs from
+    # Right half: 3 depth-tap kernels + 3 boundary-correction kernels
+    # (the latter are the right kernel column only, zero-padded back to
+    # width 3 so all six ride one 192-lane conv).
+    # Corrections: conv2d(shift(right, d')) differs from
     # shift(conv2d(right), d') in exactly two columns, both through the
     # kernel's right column (kw index 2):
     #   x = d'-1 gains  sum_kh w_r[i, kh, 2] . right[h+kh-1, 0]
     #   x = W-1  loses  sum_kh w_r[i, kh, 2] . right[h+kh-1, W-d']
-    # cc[i][:, :, x] is that vertical conv at column x (kw=1 conv).
-    cc = [_conv2d_nhwc(right, w_r[i][:, 2:3], precision=precision)
-          for i in range(3)]  # each (N, H, W, K) fp32
+    # cc[i][:, :, x] is that vertical conv at column x.
+    wz_col = jnp.zeros_like(w_r[0][:, 0:1])
+    cc_kernels = [jnp.concatenate([wz_col, w_r[i][:, 2:3], wz_col], axis=1)
+                  for i in range(3)]
+    rb = _conv2d_nhwc(right, jnp.concatenate(
+        [w_r[i] for i in range(3)] + cc_kernels, axis=3),
+        precision=precision)
+    bk = [rb[..., i * k_out:(i + 1) * k_out] for i in range(3)]
+    cc = [rb[..., (3 + i) * k_out:(4 + i) * k_out] for i in range(3)]
 
     # The conv accumulations above stay fp32; the D-loop below is pure
     # adds of full maps — in the model's own dtype the loop's HBM
