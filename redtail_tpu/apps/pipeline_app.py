@@ -250,7 +250,8 @@ def main(argv=None):
                "dnn_active": ctl.use_dnn,
                "errors": {n: v.errors for n, v in g.nodes.items()}}
     if fcu is not None:
-        summary["mavlink"] = {"armed": ctl.state.name,
+        summary["mavlink"] = {"state": ctl.state.name,
+                              "armed": fcu.state().armed,
                               "bad_crc": fcu._deframer.bad_crc}
     print(json.dumps(summary))
 

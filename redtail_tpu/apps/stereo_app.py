@@ -52,7 +52,92 @@ def build_argparser():
                    "reference's printLayerTimes, main.cpp:52-81)")
     p.add_argument("--no-cache", action="store_true",
                    help="disable the persistent compilation cache")
+    p.add_argument("--accuracy", metavar="GOLDEN",
+                   help="run every serving rung (fp32/bf16/packed/w8/int8) "
+                   "on the input pair and print a D1/EPE table vs this "
+                   "golden disparity (.npy/.bin; the reference headlined "
+                   "D1, stereoDNN/README.md:28-31, but shipped no tool)")
+    p.add_argument("--golden-scale", type=float, default=1.0,
+                   help="multiply the golden by this to get pixels "
+                   "(the NVTiny reference graph emits disparity/513; "
+                   "resnet18_2d goldens are [0,1] and scale by width "
+                   "automatically)")
+    p.add_argument("--save-engine", metavar="PATH",
+                   help="serialize the compiled executable + params to "
+                   "PATH (the TRT .plan equivalent, main.cpp:269-275; "
+                   "device-specific)")
+    p.add_argument("--engine", metavar="PATH",
+                   help="load a --save-engine artifact and run it: no "
+                   "checkpoint, no tracing, no compilation "
+                   "(main.cpp:198-220 plan-load flow; pass the same "
+                   "--dtype it was built with)")
     return p
+
+
+_ACCURACY_RUNGS = (
+    # (name, dtype, env overrides, quantize)
+    ("fp32", "fp32", {"REDTAIL_TPU_PACKED3D": "0",
+                      "REDTAIL_TPU_FUSED_TOWERS": "0"}, None),
+    ("bf16", "bf16", {"REDTAIL_TPU_PACKED3D": "0",
+                      "REDTAIL_TPU_FUSED_TOWERS": "0"}, None),
+    ("bf16+packed", "bf16", {"REDTAIL_TPU_PACKED3D": "1",
+                             "REDTAIL_TPU_FUSED_TOWERS": "1"}, None),
+    ("w8", "bf16", {"REDTAIL_TPU_PACKED3D": "1",
+                    "REDTAIL_TPU_FUSED_TOWERS": "1"}, "w8"),
+    ("int8", "bf16", {"REDTAIL_TPU_PACKED3D": "1",
+                      "REDTAIL_TPU_FUSED_TOWERS": "1"}, "int8"),
+)
+
+
+def run_accuracy_table(spec, args, left_f32, right_f32, golden_px, w):
+    """Disparity accuracy (D1/EPE in px) per serving rung vs a golden map.
+
+    Each rung re-runs the full forward in its serving configuration
+    (dtype + packed/fused paths + quantization); D1/EPE computed dense
+    (the golden is a dense model output, not sparse KITTI GT)."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    from redtail_tpu.models import stereo_forward
+    from redtail_tpu.utils.metrics import disparity_errors
+
+    dense = np.ones_like(golden_px, bool)
+    rows = []
+    for name, dtype, env, quantize in _ACCURACY_RUNGS:
+        params = load_params(
+            argparse.Namespace(**{**vars(args), "dtype": dtype}), spec)
+        jdt = jnp.bfloat16 if dtype == "bf16" else jnp.float32
+        l = jnp.asarray(left_f32, jdt)
+        r = jnp.asarray(right_f32, jdt)
+        if quantize == "w8":
+            from redtail_tpu.quant import quantize_stereo_params_w8
+            from redtail_tpu.quant.ptq import dequantize_tree
+            params = dequantize_tree(quantize_stereo_params_w8(params),
+                                     dtype=jdt)
+        elif quantize == "int8":
+            from redtail_tpu.quant import (calibrate_stereo,
+                                           quantize_stereo_params_int8)
+            scales = calibrate_stereo(
+                spec, params, [(np.asarray(left_f32[0]),
+                                np.asarray(right_f32[0]))])
+            params = quantize_stereo_params_int8(params, scales)
+        saved = {k: os.environ.get(k) for k in env}
+        os.environ.update(env)
+        try:
+            disp = np.asarray(jax.jit(
+                lambda p, a, b: stereo_forward(spec, p, a, b))(params, l, r),
+                np.float32)[0]
+        finally:
+            for k, v in saved.items():
+                os.environ.pop(k, None) if v is None \
+                    else os.environ.__setitem__(k, v)
+        disp_px = disp * w if spec.corr else disp
+        m = disparity_errors(disp_px, golden_px, dense)
+        rows.append({"rung": name, "d1": m["d1"], "epe": m["epe"],
+                     "err_max": m["err_max"]})
+    return rows
 
 
 def load_params(args, spec):
@@ -89,8 +174,9 @@ def main(argv=None):
 
     spec = STEREO_SPECS[args.model]
     prof = StageProfiler()
-    with prof.stage("load_weights"):
-        params = load_params(args, spec)
+    if not args.engine:
+        with prof.stage("load_weights"):
+            params = load_params(args, spec)
     h, w = spec.input_hw
     with prof.stage("preprocess"):
         left = preprocess_stereo_host(cv2.imread(args.left), w, h)[None]
@@ -98,6 +184,28 @@ def main(argv=None):
         if args.dtype == "bf16":
             left = left.astype(jnp.bfloat16)
             right = right.astype(jnp.bfloat16)
+
+    if args.engine:
+        # Plan-file flow (`main.cpp:198-220`): deserialize the compiled
+        # executable + params; no checkpoint, no tracing, no compile.
+        from redtail_tpu.runtime.cache import load_engine
+        with prof.stage("load_engine"):
+            call, extras = load_engine(args.engine)
+            params = jax.tree.map(jnp.asarray, extras["params"])
+        with prof.stage("execute"):
+            disp = np.asarray(call(params, left, right), np.float32)[0]
+        out = Path(args.out)
+        write_bin(disp, out.with_suffix(".bin"))
+        scale = w if spec.corr else 256.0
+        cv2.imwrite(str(out.with_suffix(".png")),
+                    np.clip(disp * scale, 0, 65535).astype(np.uint16))
+        if args.profile:
+            print(prof.report(), file=sys.stderr)
+        print(json.dumps({"model": args.model, "shape": list(disp.shape),
+                          "disp_mean": float(disp.mean()),
+                          "engine": args.engine,
+                          "out": str(out.with_suffix(".bin"))}))
+        return
 
     if args.quantize == "int8":
         from redtail_tpu.quant import (calibrate_stereo,
@@ -120,12 +228,40 @@ def main(argv=None):
         disp = np.asarray(compiled(params, left, right),
                           np.float32)[0]  # (H, W)
 
+    if args.save_engine:
+        from redtail_tpu.runtime.cache import save_engine
+        with prof.stage("save_engine"):
+            save_engine(args.save_engine,
+                        lambda p, l, r: stereo_forward(spec, p, l, r),
+                        params, left, right,
+                        extras={"params": jax.tree.map(np.asarray, params),
+                                "model": args.model, "dtype": args.dtype,
+                                "input_hw": list(spec.input_hw)})
+        print(f"engine saved to {args.save_engine}", file=sys.stderr)
+
     if args.profile_layers:
         from redtail_tpu.runtime.layer_profiler import (
             format_layer_table, profile_stereo_layers)
         with prof.stage("profile_layers"):
             rows, e2e = profile_stereo_layers(spec, params, left, right)
         print(format_layer_table(rows, e2e), file=sys.stderr)
+
+    if args.accuracy:
+        golden = np.squeeze(np.load(args.accuracy)) if \
+            args.accuracy.endswith(".npy") else None
+        if golden is None:
+            from redtail_tpu.io import read_bin
+            golden = np.squeeze(read_bin(args.accuracy))
+        golden_px = golden * w if spec.corr else golden * args.golden_scale
+        rows = run_accuracy_table(spec, args, np.asarray(left, np.float32),
+                                  np.asarray(right, np.float32),
+                                  golden_px, w)
+        print(f"{'rung':<12s} {'D1 %':>8s} {'EPE px':>8s} {'max px':>8s}",
+              file=sys.stderr)
+        for r in rows:
+            print(f"{r['rung']:<12s} {100 * r['d1']:8.3f} "
+                  f"{r['epe']:8.4f} {r['err_max']:8.3f}", file=sys.stderr)
+        print(json.dumps({"model": args.model, "accuracy": rows}))
 
     out = Path(args.out)
     write_bin(disp, out.with_suffix(".bin"))

@@ -1,4 +1,4 @@
-"""Minimal MAVLink v1 wire protocol: the last behavioral gap to a real FCU.
+"""Minimal MAVLink v1+v2 wire protocol: the last behavioral gap to a real FCU.
 
 The reference's `px4_controller` talks to the flight controller through
 MAVROS services/topics (`ros/packages/px4_controller/src/px4_controller.cpp:
@@ -10,9 +10,12 @@ SET_POSITION_TARGET_LOCAL_NED — so `arm_sequence` and the navigation loop
 can drive a real PX4/APM autopilot over a serial port or UDP socket with
 zero dependencies.
 
-Wire format (MAVLink 1, which PX4/ArduPilot always accept):
+Wire formats (v2 is the default emit — modern PX4 requires it for
+extended commands; v1 stays available as the universal fallback):
 
-    0xFE len seq sysid compid msgid payload[len] crc_lo crc_hi
+    v1: 0xFE len seq sysid compid msgid payload[len] crc_lo crc_hi
+    v2: 0xFD len incompat compat seq sysid compid msgid[3]
+        payload[len, zero-truncated] crc_lo crc_hi [signature[13]]
 
 The checksum is the ITU X.25 CRC-16 over ``len..payload`` followed by the
 per-message CRC_EXTRA byte.  Rather than hard-coding CRC_EXTRA constants,
@@ -140,11 +143,24 @@ APM_ROVER_MODES = {"MANUAL": 0, "ACRO": 1, "STEERING": 3, "HOLD": 4,
 
 
 def pack_frame(msg: MessageDef, seq: int, sysid: int, compid: int,
-               values: Dict[str, float]) -> bytes:
+               values: Dict[str, float], *, version: int = 1) -> bytes:
+    """Serialize one frame.  ``version=2`` emits MAVLink 2
+    (0xFD, incompat/compat flag bytes, 3-byte little-endian msgid,
+    payload zero-truncated per spec — trailing zero bytes stripped but
+    at least one payload byte kept); modern PX4 requires v2 for
+    extended commands.  ``version=1`` is the universally-accepted
+    fallback."""
     payload = struct.pack(msg.fmt,
                           *(values.get(n, 0) for n, _ in msg.wire_fields))
-    header = struct.pack("<BBBBBB", MAGIC_V1, len(payload), seq & 0xFF,
-                         sysid, compid, msg.msgid)
+    if version == 2:
+        payload = payload.rstrip(b"\x00") or payload[:1]
+        header = struct.pack(
+            "<BBBBBBBBBB", MAGIC_V2, len(payload), 0, 0, seq & 0xFF,
+            sysid, compid, msg.msgid & 0xFF, (msg.msgid >> 8) & 0xFF,
+            (msg.msgid >> 16) & 0xFF)
+    else:
+        header = struct.pack("<BBBBBB", MAGIC_V1, len(payload), seq & 0xFF,
+                             sysid, compid, msg.msgid)
     crc = x25_crc(header[1:] + payload)
     crc = x25_crc(bytes([msg.crc_extra]), crc)
     return header + payload + struct.pack("<H", crc)
@@ -155,8 +171,11 @@ class Deframer:
 
     Accepts BOTH MAVLink 1 (0xFE) and MAVLink 2 (0xFD) frames — modern
     PX4 links speak v2 unprompted, with payload zero-truncation and a
-    3-byte message id; unsigned frames only (signed v2 frames fail the
-    length check and are skipped).  Resynchronizes on garbage and drops
+    3-byte message id.  Signed v2 frames (incompat_flags bit 0x01) are
+    accepted with the 13-byte signature consumed but NOT verified —
+    this link holds no signing keys (the v2 length byte and CRC cover
+    the payload only, so signing never affects parsing).
+    Resynchronizes on garbage and drops
     frames with bad checksums or unknown message ids (unknown ids can't
     be CRC-checked without their CRC_EXTRA — same policy as the
     upstream C parser).
@@ -184,10 +203,12 @@ class Deframer:
             if len(self._buf) < header + 2:
                 return out
             length = self._buf[1]
-            total = header + length + 2
-            if len(self._buf) < total:
+            sig_len = 13 if v2 and (self._buf[2] & 0x01) else 0
+            base_total = header + length + 2
+            total = base_total + sig_len
+            if len(self._buf) < base_total:
                 return out
-            frame = bytes(self._buf[:total])
+            frame = bytes(self._buf[:base_total])
             if v2:
                 msgid = frame[7] | (frame[8] << 8) | (frame[9] << 16)
                 sysid = frame[5]
@@ -202,11 +223,16 @@ class Deframer:
                 crc = x25_crc(frame[1:header + length])
                 crc = x25_crc(bytes([msg.crc_extra]), crc)
                 ok = crc == struct.unpack(
-                    "<H", frame[header + length:total])[0]
+                    "<H", frame[header + length:header + length + 2])[0]
             if not ok:
                 self.bad_crc += msg is not None
                 del self._buf[:1]  # resync after the magic byte
                 continue
+            if len(self._buf) < total:
+                # CRC-valid signed frame: wait for its 13 signature
+                # bytes (only AFTER validation, so a garbage 0xFD with
+                # the signed bit set cannot stall the stream).
+                return out
             payload = frame[header:header + length]
             if v2 and length < full:   # v2 zero-truncation
                 payload = payload + b"\x00" * (full - length)
@@ -246,7 +272,16 @@ class UdpLink:
     """UDP transport (the standard PX4 SITL link, e.g. 127.0.0.1:14540).
 
     ``sock``: optionally pass an already-bound datagram socket (avoids
-    the probe-close-rebind port race when pairing two in-process ends)."""
+    the probe-close-rebind port race when pairing two in-process ends).
+
+    Peer pinning: PX4 SITL replies from its own (sometimes ephemeral)
+    port, so the FIRST inbound packet whose source host matches the
+    configured remote host adopts that address — and the link then stays
+    PINNED to it.  A datagram from any other source is still delivered
+    to the deframer (which CRC-drops garbage) but can never re-target
+    the outgoing setpoint/command stream; the pre-pinning re-target is
+    also host-gated.  (Round-2 review finding: the old lock-onto-anyone
+    behavior let a single spoofed datagram capture the stream.)"""
 
     def __init__(self, remote: Tuple[str, int],
                  local: Optional[Tuple[str, int]] = None, *, sock=None):
@@ -257,6 +292,8 @@ class UdpLink:
             self._sock.bind(local)
         self._sock.setblocking(False)
         self._remote = remote
+        self._configured = remote
+        self._pinned = False
 
     def send(self, data: bytes) -> None:
         self._sock.sendto(data, self._remote)
@@ -268,7 +305,12 @@ class UdpLink:
                 pkt, addr = self._sock.recvfrom(65535)
             except (BlockingIOError, InterruptedError):
                 break
-            self._remote = addr  # lock onto whoever talks to us
+            if addr == self._configured:
+                # The exact configured peer always wins (recovers even
+                # if a same-host packet beat it to the first slot).
+                self._remote, self._pinned = addr, True
+            elif not self._pinned and addr[0] == self._configured[0]:
+                self._remote, self._pinned = addr, True
             chunks.append(pkt)
         return b"".join(chunks)
 
@@ -293,10 +335,11 @@ class MavlinkFcu(FcuInterface):
     def __init__(self, link, *, sysid: int = 255, compid: int = 190,
                  target_system: int = 1, target_component: int = 1,
                  mode_map: Optional[Dict[str, int]] = None,
-                 px4: bool = True,
+                 px4: bool = True, version: int = 2,
                  clock: Callable[[], float] = time.monotonic):
         self.link = link
         self.sysid, self.compid = sysid, compid
+        self.version = version
         self.target_system, self.target_component = (
             target_system, target_component)
         self._px4 = px4
@@ -315,7 +358,7 @@ class MavlinkFcu(FcuInterface):
 
     def _send(self, msg: MessageDef, **values) -> None:
         self.link.send(pack_frame(msg, self._seq, self.sysid, self.compid,
-                                  values))
+                                  values, version=self.version))
         self._seq += 1
 
     def _pump(self) -> None:
@@ -394,9 +437,10 @@ class MicroAutopilot:
     deframe, mode union, ack — is exercised end-to-end in tests."""
 
     def __init__(self, link, *, sysid: int = 1, px4: bool = True,
-                 accept_after: int = 1):
+                 accept_after: int = 1, version: int = 2):
         self.link = link
         self.sysid = sysid
+        self.version = version
         self._px4 = px4
         self.accept_after = accept_after
         self.mode_requests = 0
@@ -408,7 +452,8 @@ class MicroAutopilot:
         self._deframer = Deframer()
 
     def _send(self, msg: MessageDef, **values) -> None:
-        self.link.send(pack_frame(msg, self._seq, self.sysid, 1, values))
+        self.link.send(pack_frame(msg, self._seq, self.sysid, 1, values,
+                                  version=self.version))
         self._seq += 1
 
     def step(self) -> None:

@@ -180,21 +180,38 @@ def _c2d(p, x, *, stride=1, act=None):
     return elu(out) if act == "elu" else out
 
 
-def _plain_encoder(params, x):
+def _conv1(p, x, orig_hw, *, act="elu"):
+    """The 5x5 stride-2 stem — or its exact space-to-depth 3x3 stride-1
+    form when ``x`` arrives s2d-packed from the ingest (C = 4*Ci; see
+    ops/space_to_depth.py — at Ci=3 the native form fills 3 of 128 MXU
+    lanes and measured ~6x slower).  ``orig_hw`` fixes the TF-SAME pad
+    parity of the original conv."""
+    kernel = p["weights"] if "weights" in p else p["weights_q"]
+    if x.shape[-1] == 4 * kernel.shape[2]:
+        if "weights_q" in p:
+            raise ValueError("s2d-packed input unsupported with int8 conv1")
+        from redtail_tpu.ops.space_to_depth import conv5s2_kernel_to_s2d
+        out = conv2d(x, conv5s2_kernel_to_s2d(p["weights"], orig_hw),
+                     p["biases"], strides=(1, 1))
+        return elu(out) if act == "elu" else out
+    return _c2d(p, x, stride=2, act=act)
+
+
+def _plain_encoder(params, x, orig_hw):
     """NVTiny/NVSmall 2D feature tower: conv1 5x5 s2 + conv2..4 + conv5
     (no activation on conv5 — `model_nvsmall.py:33-35`)."""
     enc = params["encoder2D"]
-    x = _c2d(enc["conv1"], x, stride=2, act="elu")
+    x = _conv1(enc["conv1"], x, orig_hw, act="elu")
     for l in ("conv2", "conv3", "conv4"):
         x = _c2d(enc[l], x, act="elu")
     return _c2d(enc["conv5"], x)
 
 
-def _resnet_encoder(params, x, *, return_conv1=False):
+def _resnet_encoder(params, x, orig_hw, *, return_conv1=False):
     """ResNet-18 feature tower (`model_resnet18.py:write_2d_encoder`):
     conv1 5x5 s2 + 8 residual blocks + encoder2D_out (no final act)."""
     enc = params["encoder2D"]
-    x = _c2d(enc["conv1"], x, stride=2, act="elu")
+    x = _conv1(enc["conv1"], x, orig_hw, act="elu")
     conv1_act = x
     for i in range(1, 9):
         blk = enc[f"resblock{i}"]
@@ -216,12 +233,12 @@ def _blockdiag(w):
     return jnp.concatenate([top, bot], axis=2)
 
 
-def _fused_resnet_towers(params, left, right):
+def _fused_resnet_towers(params, left, right, orig_hw):
     """Both ResNet-18 towers as ONE chain of block-diagonal convs over
     channel-concatenated images.  Exact (block-diagonal = independent
     towers; gated vs the per-tower path in tests/test_models.py)."""
     enc = params["encoder2D"]
-    x = jnp.concatenate([left, right], axis=-1)  # (N, H, W, 6)
+    x = jnp.concatenate([left, right], axis=-1)  # (N, H, W, 6) or packed 24
 
     def c2d(p, x, *, stride=1, act=None):
         out = conv2d(x, _blockdiag(p["weights"]),
@@ -229,7 +246,17 @@ def _fused_resnet_towers(params, left, right):
                      strides=(stride, stride))
         return elu(out) if act == "elu" else out
 
-    x = c2d(enc["conv1"], x, stride=2, act="elu")
+    if x.shape[-1] == 8 * enc["conv1"]["weights"].shape[2]:
+        # s2d-packed pair: block-diag of the folded 3x3 kernel (each
+        # tower's 12 packed channels stay contiguous — the ingest packs
+        # the two images separately; see `_conv1`).
+        from redtail_tpu.ops.space_to_depth import conv5s2_kernel_to_s2d
+        k3 = conv5s2_kernel_to_s2d(enc["conv1"]["weights"], orig_hw)
+        x = elu(conv2d(x, _blockdiag(k3),
+                       jnp.tile(enc["conv1"]["biases"], (2,)),
+                       strides=(1, 1)))
+    else:
+        x = c2d(enc["conv1"], x, stride=2, act="elu")
     conv1_left = x[..., :x.shape[-1] // 2]
     for i in range(1, 9):
         blk = enc[f"resblock{i}"]
@@ -265,14 +292,16 @@ def _encode_pair(spec, params, left, right):
     # 1.7x per conv pair (32 -> 64 MXU lanes), so the resnet18 towers
     # fuse by default there.  Falls back per-tower when INT8 leaves or
     # a calibration tap are active (they need per-layer boundaries).
+    orig_hw = spec.input_hw if left.shape[-1] == 12 else left.shape[1:3]
     if (spec.encoder2d == "resnet18" and use_fused_towers()
             and _conv_tap is None
             and not _has_quantized(params["encoder2D"])):
-        return _fused_resnet_towers(params, left, right)
+        return _fused_resnet_towers(params, left, right, orig_hw)
     if spec.encoder2d == "plain":
-        return _plain_encoder(params, left), _plain_encoder(params, right), None
-    fl, conv1 = _resnet_encoder(params, left, return_conv1=True)
-    fr = _resnet_encoder(params, right)
+        return (_plain_encoder(params, left, orig_hw),
+                _plain_encoder(params, right, orig_hw), None)
+    fl, conv1 = _resnet_encoder(params, left, orig_hw, return_conv1=True)
+    fr = _resnet_encoder(params, right, orig_hw)
     return fl, fr, conv1
 
 
@@ -447,8 +476,23 @@ def stereo_forward(spec: StereoSpec, params: Params, left, right):
 
     Returns (N, H, W): pixels for the 3D models, [0,1]-normalized for
     resnet18_2d (the reference multiplies by image width downstream).
+
+    Inputs may also arrive **s2d-packed** from the ingest — shape
+    (N, ceil(H/2), ceil(W/2), 12) per `ops.space_to_depth.space_to_depth2`
+    with (H, W) = ``spec.input_hw`` — in which case conv1 runs as its
+    exactly-equivalent 3x3 stride-1 form (~6x faster at c_in=3's 3/128
+    MXU-lane fill; the pack itself rides the ingest where it is free).
     """
-    full_hw = left.shape[1:3]
+    if left.shape[-1] == 12:
+        from redtail_tpu.ops.space_to_depth import s2d_hw
+        full_hw = spec.input_hw
+        if tuple(left.shape[1:3]) != s2d_hw(full_hw):
+            raise ValueError(
+                f"s2d-packed input {left.shape} does not match "
+                f"spec.input_hw {spec.input_hw} (expected spatial "
+                f"{s2d_hw(full_hw)})")
+    else:
+        full_hw = left.shape[1:3]
     fl, fr, conv1_act = _encode_pair(spec, params, left, right)
     if spec.corr:
         if use_pallas_cost_volume():
@@ -575,14 +619,7 @@ def init_stereo_params(spec: StereoSpec, key=None, dtype=jnp.float32) -> Params:
             node = node.setdefault(p, {})
         node[path.split("/")[-1]] = {
             "weights": w, "biases": jnp.zeros(bshape, dtype)}
-    # re-nest: the leaf dicts were assigned one level too shallow
-    return _renest(params)
-
-
-def _renest(tree):
-    # init_stereo_params stores {'layer': {'weights': .., 'biases': ..}}
-    # directly — nothing to do, but keep hook for future param transforms.
-    return tree
+    return params
 
 
 _TRT_2D_PREFIXES = ("conv2D", "deconv2D")

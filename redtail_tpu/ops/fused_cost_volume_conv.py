@@ -47,8 +47,12 @@ def cost_volume_conv3d(left, right, w, b=None, max_disp: int = 48,
     """left/right (N, H, W, C) + conv3d weights w (3, 3, 3, 2C, K) ->
     conv3d(cost_volume(left, right, D), w, stride 1, SAME): (N, D, H, W, K).
 
-    ``act``: optional activation applied per-slice while still fp32 (the
-    packed path folds the model's ELU here so no extra full-volume pass).
+    ``act``: optional activation applied per-slice inside the D loop —
+    which runs in the INPUT dtype (bf16 in serving; the conv
+    accumulations themselves are fp32, downcast once before the loop to
+    halve its HBM traffic) — so the packed path folds the model's ELU
+    here with no extra full-volume pass.  bf16 drift vs the fp32 path is
+    bounded by a gate in tests/test_ops_golden.py.
     ``emit='dh_shifted'``: return the SHIFTED (ph, pd, c)-packed layout
     of `ops.packed3d` — (N, Dp+1, Hp+1, W, 4K) with slot a holding
     originals (2a-1, 2a) per packed axis and zero boundary slots — built

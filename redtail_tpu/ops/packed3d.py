@@ -368,9 +368,10 @@ def deconv3d_packed(x, w, b=None, *, out_spatial, in_packed_d: bool,
     pad_w = (2 - lo_w, Wo + lo_w - 2 * (wi - 1) - 1)
 
     k = _kernel(w, A_d, A_h, A_w, transposed=True)
+    # Bias (and the odd-size masks) stay in the fp32 accumulator,
+    # matching conv3d_packed/_down; single downcast at the end.
     out = _conv(x, k, (1, 1, 1), [pad_d, pad_h, pad_w],
-                (dil_d, dil_h, 2), accum_dtype,
-                precision).astype(x.dtype)
+                (dil_d, dil_h, 2), accum_dtype, precision)
     groups = 4 if pack_h else 2
     out = _bias(out, b, groups)
     co = out.shape[-1] // groups

@@ -38,3 +38,56 @@ def aot_compile(fn: Callable, *example_args: Any):
     persistent cache the serialized executable is reused across processes.
     """
     return jax.jit(fn).lower(*example_args).compile()
+
+
+def save_engine(path, fn: Callable, *example_args: Any,
+                extras: Optional[dict] = None) -> None:
+    """Compile ``fn`` for ``example_args`` and serialize the EXECUTABLE
+    to ``path`` — the true TRT plan-file equivalent
+    (`sample_app/main.cpp:198-276`: engine->serialize() to .plan, load
+    in <1 s).  Like a TRT plan the artifact is device/backend-specific;
+    `load_engine` refuses a backend mismatch.
+
+    ``extras``: optional pickled sidecar dict (e.g. the param pytree as
+    numpy arrays, so a fresh process needs neither checkpoint nor model
+    code)."""
+    import pickle
+
+    from jax.experimental import serialize_executable
+
+    compiled = aot_compile(fn, *example_args)
+    payload, in_tree, out_tree = serialize_executable.serialize(compiled)
+    devs = set()
+    for s in jax.tree_util.tree_leaves(compiled.input_shardings):
+        devs |= set(s.device_set)
+    blob = {"version": 1, "backend": jax.default_backend(),
+            "n_devices": max(1, len(devs)),
+            "payload": payload, "in_tree": in_tree, "out_tree": out_tree,
+            "extras": extras}
+    with open(path, "wb") as f:
+        pickle.dump(blob, f)
+
+
+def load_engine(path):
+    """Deserialize a `save_engine` artifact into a ready executable:
+    no Python tracing, no XLA compilation — returns (call, extras).
+
+    The load path never imports the model code (the reference's
+    `StereoDnnPluginFactory` deserialization needed the full plugin
+    library; here the XLA executable is self-contained)."""
+    import pickle
+
+    from jax.experimental import serialize_executable
+
+    with open(path, "rb") as f:
+        blob = pickle.load(f)
+    if blob["backend"] != jax.default_backend():
+        raise ValueError(
+            f"engine was built for backend {blob['backend']!r}, current "
+            f"is {jax.default_backend()!r} (plan files are "
+            "device-specific, like the reference's)")
+    n = blob.get("n_devices", 1)
+    call = serialize_executable.deserialize_and_load(
+        blob["payload"], blob["in_tree"], blob["out_tree"],
+        execution_devices=jax.devices()[:n])
+    return call, blob.get("extras")

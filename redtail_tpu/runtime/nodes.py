@@ -84,19 +84,30 @@ class StereoNode:
             return out
         params = cast_tree(params)
 
-        def run(params, left_u8, right_u8):
+        from redtail_tpu.ops.space_to_depth import use_s2d_stem
+        # s2d stem: frames arrive host-packed (see `_host_prep`) and
+        # conv1 runs its 3x3 form — every on-device pack measured slower
+        # than the conv win (tools/microbench_enc2d.py); int8 conv1
+        # keeps the raw stem (no packed int8 kernel).
+        self._s2d = use_s2d_stem() and quantize != "int8"
+
+        def run(params, left_in, right_in):
             def prep(x):
                 x = x.astype(jnp.float32)
-                if x.shape[1:3] != (h, w):
-                    x = jax.image.resize(x, (x.shape[0], h, w, 3), "bilinear")
-                return (x[..., ::-1] / 255.0).astype(dtype)  # BGR->RGB
+                if x.shape[-1] == 3:  # raw BGR frames
+                    if x.shape[1:3] != (h, w):
+                        x = jax.image.resize(x, (x.shape[0], h, w, 3),
+                                             "bilinear")
+                    x = x[..., ::-1]  # BGR->RGB (packed input arrives RGB)
+                return (x / 255.0).astype(dtype)
 
-            disp = stereo_forward(spec, params, prep(left_u8), prep(right_u8))
+            disp = stereo_forward(spec, params, prep(left_in), prep(right_in))
             if spec.corr:  # sigmoid-normalized -> pixels (x width)
                 disp = disp * w
             return disp.astype(jnp.float32)
 
         self._fn = jax.jit(run)
+        self._hw = (h, w)
         self._device = device
         if device is not None:
             params = jax.device_put(params, device)
@@ -106,9 +117,25 @@ class StereoNode:
         return jax.device_put(jnp.asarray(x), self._device) \
             if self._device is not None else jnp.asarray(x)
 
+    def _host_prep(self, x_u8):
+        """Resize (if needed) + BGR->RGB + s2d pack, all on host uint8:
+        overlaps device compute in the pipeline; H2D bytes unchanged."""
+        from redtail_tpu.ops.space_to_depth import space_to_depth2_np
+        h, w = self._hw
+        if x_u8.shape[1:3] != (h, w):
+            import cv2
+            x_u8 = np.stack([cv2.resize(f, (w, h),
+                                        interpolation=cv2.INTER_AREA)
+                             for f in x_u8])
+        return space_to_depth2_np(x_u8[..., ::-1])
+
     def __call__(self, left_u8, right_u8) -> np.ndarray:
         if left_u8.ndim == 3:
             left_u8, right_u8 = left_u8[None], right_u8[None]
+        if self._s2d:
+            with self.profiler.stage(f"stereo/{self.spec.name}/pack"):
+                left_u8 = self._host_prep(np.asarray(left_u8))
+                right_u8 = self._host_prep(np.asarray(right_u8))
         with self.profiler.stage(f"stereo/{self.spec.name}"):
             out = np.asarray(self._fn(self._params, self._put(left_u8),
                                       self._put(right_u8)))

@@ -163,6 +163,111 @@ def test_apm_rover_mode_union():
     assert st.mode == "GUIDED" and not st.armed
 
 
+def test_pack_frame_v2_roundtrip_zero_truncation():
+    """Our own v2 emission: 0xFD magic, 3-byte msgid, payload
+    zero-truncated on the wire, restored by the deframer."""
+    from redtail_tpu.control.mavlink import MAGIC_V2
+
+    frame = pack_frame(COMMAND_LONG, 3, 255, 190, dict(
+        target_system=1, target_component=1, command=400, confirmation=0,
+        param1=1.0), version=2)
+    assert frame[0] == MAGIC_V2
+    full = 33  # COMMAND_LONG payload: 7 floats + u16 + 3 u8
+    assert len(frame) < 10 + full + 2  # trailing zero params truncated
+    msgs = Deframer().feed(frame)
+    assert len(msgs) == 1
+    msgid, vals, sysid = msgs[0]
+    assert msgid == COMMAND_LONG.msgid and sysid == 255
+    assert vals["command"] == 400 and vals["param1"] == pytest.approx(1.0)
+    assert vals["param7"] == pytest.approx(0.0)  # truncated zeros restored
+
+
+def test_v2_signed_frame_accepted_signature_skipped():
+    """Signed v2 frames (incompat 0x01): length/CRC are unaffected by
+    the 13-byte signature, so the frame parses normally; the signature
+    is consumed without being counted as garbage (no bad_crc)."""
+    import struct
+
+    payload = struct.pack(COMMAND_ACK.fmt, 400, 0)
+    header = struct.pack("<BBBBBBBBBB", 0xFD, len(payload), 0x01, 0, 5,
+                         1, 1, COMMAND_ACK.msgid, 0, 0)
+    crc = x25_crc(header[1:] + payload)
+    crc = x25_crc(bytes([COMMAND_ACK.crc_extra]), crc)
+    signed = header + payload + struct.pack("<H", crc) + b"\x07" * 13
+    follow = pack_frame(HEARTBEAT, 6, 1, 1, dict(
+        type=2, autopilot=12, base_mode=129, custom_mode=6 << 16,
+        system_status=4, mavlink_version=3))
+    d = Deframer()
+    msgs = d.feed(signed + follow)
+    assert [m[0] for m in msgs] == [COMMAND_ACK.msgid, HEARTBEAT.msgid]
+    assert d.bad_crc == 0
+
+
+def test_arm_sequence_v1_fallback_mode():
+    """The v1 emit path stays available (version=1 on both ends)."""
+    link = LoopbackLink()
+    fcu = MavlinkFcu(link.a, version=1)
+    ap = MicroAutopilot(link.b, version=1)
+    assert fcu.set_mode("OFFBOARD")
+    ap.step()
+    assert ap.custom_mode == 6 << 16
+    fcu.arm()  # request processed (and ACKed) on the autopilot's step
+    ap.step()
+    fcu.publish_setpoint(Pose(np.array([1.0, 0.0, 2.0])))
+    ap.step()
+    assert len(ap.setpoints) == 1
+    st = fcu.state()
+    assert st.mode == "OFFBOARD" and st.armed
+
+
+def test_udp_spoofed_datagram_does_not_retarget():
+    """Once paired, a datagram from another source must not capture the
+    setpoint stream (round-2 review finding)."""
+    import socket
+    import time
+
+    peer = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    peer.bind(("127.0.0.1", 0))
+    peer.setblocking(False)
+    spoof = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    spoof.bind(("127.0.0.1", 0))
+    spoof.setblocking(False)
+    try:
+        link = UdpLink(("127.0.0.1", peer.getsockname()[1]),
+                       local=("127.0.0.1", 0))
+        link_addr = link._sock.getsockname()
+        # pair: peer talks first (from its configured address -> pins)
+        peer.sendto(b"\x01hello", link_addr)
+        deadline = time.time() + 2.0
+        while not link.recv() and time.time() < deadline:
+            time.sleep(0.01)
+        assert link._pinned
+        # spoof from a different port on the same host
+        spoof.sendto(b"\x02spoof", link_addr)
+        deadline = time.time() + 2.0
+        while not link.recv() and time.time() < deadline:
+            time.sleep(0.01)
+        frame = pack_frame(COMMAND_ACK, 0, 1, 1,
+                           dict(command=400, result=0))
+        link.send(frame)
+        got, spoof_got = b"", b""
+        deadline = time.time() + 2.0
+        while not got and time.time() < deadline:
+            try:
+                got, _ = peer.recvfrom(65535)
+            except BlockingIOError:
+                time.sleep(0.01)
+        try:
+            spoof_got, _ = spoof.recvfrom(65535)
+        except BlockingIOError:
+            pass
+        assert got == frame      # paired peer still receives
+        assert spoof_got == b""  # spoofer captured nothing
+    finally:
+        peer.close()
+        spoof.close()
+
+
 def test_udp_link_loopback():
     import socket
 

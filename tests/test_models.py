@@ -90,6 +90,41 @@ def test_resnet18_2d_end_to_end_parity():
     np.testing.assert_allclose(disp, golden, atol=1e-5)
 
 
+@pytest.mark.parametrize("name,hw", [("resnet18_2d", (65, 129)),
+                                     ("resnet18_2d", (64, 128)),
+                                     ("nvtiny", (65, 129)),
+                                     ("nvtiny", (64, 128))])
+def test_s2d_packed_input_parity(name, hw, monkeypatch):
+    """s2d-packed ingest inputs (conv1 as the folded 3x3 stride-1 form)
+    must match the raw path, for both spatial parities (the TF-SAME pad
+    parity flips the kernel remap), plain + resnet encoders, per-tower
+    and block-diagonal fused towers.  Biases randomized (round-2
+    lesson: zero init biases can hide boundary-row bugs)."""
+    import jax.numpy as jnp
+
+    from test_packed3d import _randomize_biases
+
+    from redtail_tpu.ops.space_to_depth import space_to_depth2
+
+    spec = dataclasses.replace(STEREO_SPECS[name], input_hw=hw, max_disp=8)
+    params = _randomize_biases(init_stereo_params(spec, jax.random.PRNGKey(0)))
+    h, w = hw
+    rs = np.random.RandomState(2)
+    left = rs.rand(1, h, w, 3).astype(np.float32)
+    right = rs.rand(1, h, w, 3).astype(np.float32)
+    pl = space_to_depth2(jnp.asarray(left))
+    pr = space_to_depth2(jnp.asarray(right))
+    modes = ("0", "1") if name == "resnet18_2d" else ("0",)
+    for fused in modes:
+        monkeypatch.setenv("REDTAIL_TPU_FUSED_TOWERS", fused)
+        want = np.asarray(stereo_forward(spec, params, left, right))
+        got = np.asarray(stereo_forward(spec, params, pl, pr))
+        # fp32 reassociation only (12x3x3 vs 3x5x5 contraction order),
+        # amplified through 20+ layers + soft-argmax; 1e-3 in sigmoid
+        # units is ~0.1 px at this width.
+        np.testing.assert_allclose(got, want, atol=1e-3)
+
+
 @pytest.mark.parametrize("name", ["nvsmall", "resnet18"])
 def test_structural_random_weights(name):
     """NVSmall / ResNet-18 3D: shipped checkpoints lack data files, so gate

@@ -304,3 +304,91 @@ def test_stage_device_pinning():
 def _trailnet_available():
     from redtail_tpu.models.trailnet import DEFAULT_PROTOTXT
     return DEFAULT_PROTOTXT.exists()
+
+
+def test_engine_save_load_roundtrip(tmp_path):
+    """Serialized AOT engine (the TRT .plan equivalent,
+    `main.cpp:198-276`): save the compiled flagship-family executable,
+    load it back, outputs identical to the live-jit path."""
+    import jax
+    import jax.numpy as jnp
+
+    from redtail_tpu.models import (
+        STEREO_SPECS, init_stereo_params, stereo_forward)
+    from redtail_tpu.runtime.cache import load_engine, save_engine
+
+    spec = dataclasses.replace(STEREO_SPECS["resnet18_2d"],
+                               input_hw=(32, 64), max_disp=4)
+    params = init_stereo_params(spec)
+    rs = np.random.RandomState(0)
+    left = jnp.asarray(rs.rand(1, 32, 64, 3), jnp.float32)
+    right = jnp.asarray(rs.rand(1, 32, 64, 3), jnp.float32)
+    want = np.asarray(stereo_forward(spec, params, left, right))
+
+    path = tmp_path / "r2d.plan"
+    save_engine(path, lambda p, l, r: stereo_forward(spec, p, l, r),
+                params, left, right,
+                extras={"params": jax.tree.map(np.asarray, params)})
+    call, extras = load_engine(path)
+    got = np.asarray(call(jax.tree.map(jnp.asarray, extras["params"]),
+                          left, right))
+    # the AOT loader may pick slightly different host codegen (machine-
+    # feature fallback) -> not bitwise; 1e-4 px on a [0,1]-sigmoid map.
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_engine_cold_start_no_model_code(tmp_path):
+    """A FRESH process loads the engine with the persistent cache
+    disabled, runs it, and never imports the model code — no tracing,
+    no compilation (load budget: the reference's '<1 s' plan-load,
+    README.md:39)."""
+    import subprocess
+    import sys
+
+    import jax
+    import jax.numpy as jnp
+
+    from redtail_tpu.models import (
+        STEREO_SPECS, init_stereo_params, stereo_forward)
+    from redtail_tpu.runtime.cache import save_engine
+
+    spec = dataclasses.replace(STEREO_SPECS["resnet18_2d"],
+                               input_hw=(32, 64), max_disp=4)
+    params = init_stereo_params(spec)
+    rs = np.random.RandomState(0)
+    left = jnp.asarray(rs.rand(1, 32, 64, 3), jnp.float32)
+    right = jnp.asarray(rs.rand(1, 32, 64, 3), jnp.float32)
+    want = np.asarray(stereo_forward(spec, params, left, right))
+    path = tmp_path / "r2d.plan"
+    save_engine(path, lambda p, l, r: stereo_forward(spec, p, l, r),
+                params, left, right,
+                extras={"params": jax.tree.map(np.asarray, params)})
+    np.save(tmp_path / "want.npy", want)
+    np.save(tmp_path / "left.npy", np.asarray(left))
+    np.save(tmp_path / "right.npy", np.asarray(right))
+
+    script = f"""
+import sys, time
+import jax
+jax.config.update("jax_platforms", "cpu")
+import jax.numpy as jnp
+import numpy as np
+from redtail_tpu.runtime.cache import load_engine
+t0 = time.perf_counter()
+call, extras = load_engine({str(path)!r})
+load_s = time.perf_counter() - t0
+params = jax.tree.map(jnp.asarray, extras["params"])
+left = jnp.asarray(np.load({str(tmp_path / 'left.npy')!r}))
+right = jnp.asarray(np.load({str(tmp_path / 'right.npy')!r}))
+got = np.asarray(call(params, left, right))
+want = np.load({str(tmp_path / 'want.npy')!r})
+np.testing.assert_allclose(got, want, atol=1e-4)
+assert "redtail_tpu.models" not in sys.modules, "model code was imported"
+assert load_s < 1.0, f"engine load took {{load_s:.2f}}s (budget 1 s)"
+print(f"cold-start ok load={{load_s * 1e3:.1f}}ms")
+"""
+    r = subprocess.run([sys.executable, "-c", script],
+                       capture_output=True, text=True, timeout=300,
+                       cwd="/root/repo")
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "cold-start ok" in r.stdout

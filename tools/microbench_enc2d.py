@@ -91,6 +91,58 @@ def main():
         ("resblock_chain4", lambda a: resblock(resblock(resblock(
             resblock(a, wA, wB), wA, wB), wA, wB), wA, wB), (x,)),
     ]
+
+    # --- r3: pack-variant shootout at the FUSED-TOWER shapes (6-ch in,
+    # 64-ch out — the production conv1 after block-diagonal fusion).
+    img6 = _r((1, 321, 1025, 6), 9)
+    w1_6 = _r((5, 5, 6, 64), 10)
+    w1f_24 = _r((3, 3, 24, 64), 11)
+    s2d6 = jnp.concatenate(
+        [jnp.pad(img6, ((0, 0), (0, 1), (0, 1), (0, 0)))[:, a::2, b::2]
+         [:, :161, :513] for a in (0, 1) for b in (0, 1)], axis=-1)
+
+    def pack_slices(a):
+        ap = jnp.pad(a, ((0, 0), (0, 1), (0, 1), (0, 0)))
+        return jnp.concatenate([ap[:, p::2, q::2][:, :161, :513]
+                                for p in (0, 1) for q in (0, 1)], axis=-1)
+
+    def pack_reshape(a):
+        ap = jnp.pad(a, ((0, 0), (0, 1), (0, 1), (0, 0)))
+        n, h2, w2, c = ap.shape
+        ap = ap.reshape(n, h2 // 2, 2, w2 // 2, 2, c)
+        return ap.transpose(0, 1, 3, 2, 4, 5).reshape(
+            n, h2 // 2, w2 // 2, 4 * c)
+
+    c6 = img6.shape[-1]
+    ident = np.zeros((2, 2, c6, 4 * c6), np.float32)
+    for p in (0, 1):
+        for q in (0, 1):
+            for ch in range(c6):
+                ident[p, q, ch, (2 * p + q) * c6 + ch] = 1.0
+    ident = jnp.asarray(ident, jnp.bfloat16)
+
+    def pack_conv(a):
+        # s2d as an identity-weight k=2 s=2 conv (pack on the MXU) —
+        # same trick as packed3d's conv-only unpack.
+        return conv(a, ident, ("NHWC", "HWIO", "NHWC"), strides=(2, 2),
+                    pads=((0, 1), (0, 1)))
+
+    cases += [
+        ("f_conv1_5x5s2_native", lambda a: conv(
+            a, w1_6, ("NHWC", "HWIO", "NHWC"), strides=(2, 2),
+            pads=((1, 2), (1, 2))), (img6,)),
+        ("f_conv1_s2d_3x3_only", lambda a: conv(
+            a, w1f_24, ("NHWC", "HWIO", "NHWC")), (s2d6,)),
+        ("f_pack_slices", pack_slices, (img6,)),
+        ("f_pack_reshape", pack_reshape, (img6,)),
+        ("f_pack_identconv", pack_conv, (img6,)),
+        ("f_s2d_slices+3x3", lambda a: conv(
+            pack_slices(a), w1f_24, ("NHWC", "HWIO", "NHWC")), (img6,)),
+        ("f_s2d_reshape+3x3", lambda a: conv(
+            pack_reshape(a), w1f_24, ("NHWC", "HWIO", "NHWC")), (img6,)),
+        ("f_s2d_identconv+3x3", lambda a: conv(
+            pack_conv(a), w1f_24, ("NHWC", "HWIO", "NHWC")), (img6,)),
+    ]
     for name, fn, args in cases:
         sec = device_time_fn(fn, args)
         print(f"{name:<24s} {sec * 1e3:8.3f} ms")
