@@ -20,6 +20,20 @@ def build_argparser():
     p = argparse.ArgumentParser(description="redtail-tpu pipeline")
     p.add_argument("--video", help="video file for the camera topic "
                    "(default: synthetic frames)")
+    p.add_argument("--video-sbs", help="side-by-side stereo video: each "
+                   "frame is split into the L/R camera topics with one "
+                   "shared timestamp (the ZED-pair role, "
+                   "stereo_dnn_ros/launch/zed.launch)")
+    p.add_argument("--video-left", help="left-camera video file "
+                   "(pair with --video-right; frames iterated in "
+                   "lockstep)")
+    p.add_argument("--video-right", help="right-camera video file")
+    p.add_argument("--viz-out", metavar="DIR",
+                   help="write 2x2 disparity mosaics (L|R ; gray|KITTI "
+                   "color) to DIR from a 3-way-synced viz node — the "
+                   "stereo_dnn_ros_viz role")
+    p.add_argument("--viz-every", type=int, default=10,
+                   help="write every Nth mosaic (default 10)")
     p.add_argument("--stereo-model", default="resnet18_2d",
                    choices=["nvtiny", "nvsmall", "resnet18", "resnet18_2d"])
     p.add_argument("--stereo-checkpoint")
@@ -196,15 +210,34 @@ def main(argv=None):
     g.add_node("controller", control_stage, ["stereo/disparity"], None,
                max_rate_hz=args.control_rate)
 
+    # --- viz sink (the stereo_dnn_ros_viz node, 3-way synced)
+    viz = None
+    if args.viz_out:
+        from redtail_tpu.runtime.nodes import VizNode
+        viz = VizNode(args.viz_out, max_disp=spec.full_max_disp,
+                      every=args.viz_every, profiler=prof)
+        g.add_node("viz", viz,
+                   ["camera/left", "camera/right", "stereo/disparity"],
+                   None, max_rate_hz=30.0, sync_slop=0.5)
+
     # --- sources
     shape = (spec.input_hw[0], spec.input_hw[1], 3)
-    if args.video:
+    src_r = None
+    if args.video_sbs or (args.video_left and args.video_right):
+        from redtail_tpu.runtime.sources import StereoVideoSource
+        src_l = StereoVideoSource(
+            g.topic("camera/left"), g.topic("camera/right"),
+            sbs_path=args.video_sbs, left_path=args.video_left,
+            right_path=args.video_right, rate_hz=30.0, repeat=True)
+    elif args.video:
         src_l = VideoFileSource(g.topic("camera/left"), args.video,
                                 rate_hz=30.0, repeat=True)
+        src_r = SyntheticSource(g.topic("camera/right"), shape,
+                                rate_hz=30.0, seed=1)
     else:
         src_l = SyntheticSource(g.topic("camera/left"), shape, rate_hz=30.0)
-    src_r = SyntheticSource(g.topic("camera/right"), shape, rate_hz=30.0,
-                            seed=1)
+        src_r = SyntheticSource(g.topic("camera/right"), shape,
+                                rate_hz=30.0, seed=1)
 
     # --- warm-up: compile every engine BEFORE spinning (the reference
     # likewise built/loaded its TRT engines before the node loops,
@@ -220,7 +253,8 @@ def main(argv=None):
 
     g.start()
     src_l.start()
-    src_r.start()
+    if src_r is not None:
+        src_r.start()
     try:
         deadline = time.monotonic() + args.duration
         injected = False
@@ -239,7 +273,8 @@ def main(argv=None):
             time.sleep(0.05)
     finally:
         src_l.stop()
-        src_r.stop()
+        if src_r is not None:
+            src_r.stop()
         g.stop()
         fcu_stop()
 
@@ -253,6 +288,12 @@ def main(argv=None):
         summary["mavlink"] = {"state": ctl.state.name,
                               "armed": fcu.state().armed,
                               "bad_crc": fcu._deframer.bad_crc}
+    if viz is not None:
+        summary["viz"] = {"mosaics": viz.frames, "written": viz.written,
+                          "dir": args.viz_out}
+    if hasattr(src_l, "published"):
+        summary["stereo_source"] = {
+            "pairs" if src_r is None else "frames": src_l.published}
     print(json.dumps(summary))
 
 

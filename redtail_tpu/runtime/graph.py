@@ -70,25 +70,30 @@ class Topic:
 
 
 class ApproxTimeSync:
-    """Pair the freshest messages of two topics within a time slop."""
+    """Group the freshest messages of N topics within a time slop —
+    the message_filters ApproximateTime analogue. The reference used a
+    2-way sync for the stereo pair (`stereo_dnn_ros_node.cpp:351-357`)
+    and a 3-way one for the viz node
+    (`stereo_dnn_ros_viz_node.cpp:202-204`)."""
 
-    def __init__(self, a: Topic, b: Topic, slop: float = 0.05):
-        self.a = a
-        self.b = b
+    def __init__(self, a: Topic, b: Topic, slop: float = 0.05,
+                 *more: Topic):
+        self.topics = (a, b) + more
         self.slop = slop
-        self._last_pair: Tuple[int, int] = (0, 0)
+        self._last_group: Tuple[int, ...] = (0,) * len(self.topics)
 
-    def take(self) -> Optional[Tuple[Message, Message]]:
-        ma, mb = self.a.latest(), self.b.latest()
-        if ma is None or mb is None:
+    def take(self) -> Optional[Tuple[Message, ...]]:
+        msgs = [t.latest() for t in self.topics]
+        if any(m is None for m in msgs):
             return None
-        if abs(ma.stamp - mb.stamp) > self.slop:
+        stamps = [m.stamp for m in msgs]
+        if max(stamps) - min(stamps) > self.slop:
             return None
-        pair = (ma.seq, mb.seq)
-        if pair == self._last_pair:
+        group = tuple(m.seq for m in msgs)
+        if group == self._last_group:
             return None
-        self._last_pair = pair
-        return ma, mb
+        self._last_group = group
+        return tuple(msgs)
 
 
 class Node:
@@ -190,9 +195,10 @@ class NodeGraph:
         in_topics = [self.topic(t) for t in inputs]
         sync = None
         if sync_slop is not None:
-            if len(in_topics) != 2:
-                raise ValueError("ApproxTimeSync requires exactly 2 inputs")
-            sync = ApproxTimeSync(in_topics[0], in_topics[1], sync_slop)
+            if len(in_topics) < 2:
+                raise ValueError("ApproxTimeSync requires >= 2 inputs")
+            sync = ApproxTimeSync(in_topics[0], in_topics[1], sync_slop,
+                                  *in_topics[2:])
         node = Node(name, fn, in_topics,
                     self.topic(output) if output else None,
                     max_rate_hz=max_rate_hz, sync=sync)

@@ -142,6 +142,42 @@ class StereoNode:
         return out[0]
 
 
+class VizNode:
+    """Disparity-mosaic sink — the `stereo_dnn_ros_viz` node
+    (`stereo_dnn_ros_viz_node.cpp:202-219`): 3-way-synced
+    (left, right, disparity) -> 2x2 mosaic [L | R ; gray | KITTI-color],
+    written to ``out_dir`` every ``every``-th frame.
+
+    ``max_disp`` defaults to 96 like the reference's hardcoded value
+    (`stereo_dnn_ros_viz_node.cpp:111`)."""
+
+    def __init__(self, out_dir, *, max_disp: float = 96.0, every: int = 10,
+                 profiler: Optional[StageProfiler] = None):
+        import pathlib
+        self.out_dir = pathlib.Path(out_dir)
+        self.out_dir.mkdir(parents=True, exist_ok=True)
+        self.max_disp = max_disp
+        self.every = max(1, every)
+        self.profiler = profiler or StageProfiler()
+        self.frames = 0
+        self.written = 0
+
+    def __call__(self, left_bgr, right_bgr, disp) -> None:
+        from redtail_tpu.runtime.viz import make_mosaic
+        with self.profiler.stage("viz"):
+            mosaic = make_mosaic(np.asarray(left_bgr)[..., ::-1],
+                                 np.asarray(right_bgr)[..., ::-1],
+                                 np.asarray(disp, np.float32),
+                                 self.max_disp)
+            self.frames += 1
+            if (self.frames - 1) % self.every == 0:
+                import cv2
+                path = self.out_dir / f"mosaic_{self.written:05d}.png"
+                cv2.imwrite(str(path), mosaic[..., ::-1])  # RGB -> BGR
+                self.written += 1
+        return None
+
+
 class TrailNetNode:
     """TrailNet stage: BGR uint8 frame -> 6 probabilities."""
 

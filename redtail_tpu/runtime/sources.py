@@ -113,6 +113,106 @@ class VideoFileSource(FrameSource):
         super().__init__(topic, factory, rate_hz=rate_hz, repeat=repeat)
 
 
+class StereoVideoSource:
+    """Synced L/R camera pair — the role `zed.launch` + the ZED driver
+    played for the reference's stereo node
+    (`stereo_dnn_ros/launch/zed.launch`,
+    `stereo_dnn_ros_node.cpp:351-357` ApproximateTime-synced L/R).
+
+    Two formats:
+    - ``sbs_path``: one video whose frames are side-by-side L|R (the
+      common stereo-rig recording format) — each frame is split in half;
+    - ``left_path`` + ``right_path``: two files iterated in lockstep.
+
+    Both halves are published with the SAME timestamp, so a downstream
+    `ApproxTimeSync` always pairs them."""
+
+    def __init__(self, topic_left: Topic, topic_right: Topic, *,
+                 sbs_path=None, left_path=None, right_path=None,
+                 rate_hz: float = 30.0, repeat: bool = False,
+                 start_frame: int = 0):
+        if sbs_path is not None:
+            if left_path or right_path:
+                raise ValueError("pass sbs_path OR left/right paths")
+            paths = [sbs_path]
+        else:
+            if not (left_path and right_path):
+                raise ValueError("need sbs_path or both left/right paths")
+            paths = [left_path, right_path]
+        missing = [p for p in paths if not Path(p).is_file()]
+        if missing:
+            raise FileNotFoundError(f"video file(s) not found: {missing}")
+        self._paths = paths
+        self._sbs = sbs_path is not None
+        self.topic_left = topic_left
+        self.topic_right = topic_right
+        self.rate_hz = rate_hz
+        self.repeat = repeat
+        self.start_frame = start_frame
+        self._stop = threading.Event()
+        self._thread: Optional[threading.Thread] = None
+        self.published = 0
+
+    def _open(self):
+        import cv2
+        caps = []
+        for p in self._paths:
+            cap = cv2.VideoCapture(str(p))
+            if not cap.isOpened():
+                raise RuntimeError(f"could not open video {p}")
+            if self.start_frame:
+                cap.set(cv2.CAP_PROP_POS_FRAMES, self.start_frame)
+            caps.append(cap)
+        return caps
+
+    def _next_pair(self, caps):
+        frames = []
+        for cap in caps:
+            ok, frame = cap.read()
+            if not ok:
+                return None
+            frames.append(frame)
+        if self._sbs:
+            f = frames[0]
+            half = f.shape[1] // 2
+            return f[:, :half], f[:, half:]
+        return frames[0], frames[1]
+
+    def _run(self):
+        period = 1.0 / self.rate_hz if self.rate_hz > 0 else 0.0
+        caps = self._open()
+        try:
+            while not self._stop.is_set():
+                t0 = time.monotonic()
+                pair = self._next_pair(caps)
+                if pair is None:
+                    for c in caps:
+                        c.release()
+                    if not self.repeat:
+                        return
+                    caps = self._open()
+                    continue
+                stamp = time.monotonic()
+                self.topic_left.publish(pair[0], stamp=stamp)
+                self.topic_right.publish(pair[1], stamp=stamp)
+                self.published += 1
+                dt = time.monotonic() - t0
+                if period > dt:
+                    self._stop.wait(period - dt)
+        finally:
+            for c in caps:
+                c.release()
+
+    def start(self):
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def stop(self, timeout: float = 2.0):
+        self._stop.set()
+        if self._thread is not None:
+            self._thread.join(timeout)
+
+
 class SyntheticSource(FrameSource):
     """Deterministic random frames for tests and soak runs."""
 

@@ -98,3 +98,24 @@ def test_nvtiny_serving_rungs_d1(monkeypatch):
     assert m_serv["d1"] < 1e-3
     assert m_serv["epe"] < 0.5
     assert m_drift["d1"] < 1e-3
+
+
+def test_eval_disparity_cli(tmp_path, capsys):
+    """tools/eval_disparity.py end-to-end: npy + bin inputs."""
+    import json
+    import sys
+    sys.path.insert(0, "/root/repo/tools")
+    import eval_disparity
+
+    from redtail_tpu.io import write_bin
+
+    rs = np.random.RandomState(0)
+    gt = rs.rand(8, 12).astype(np.float32) * 40 + 1
+    pred = gt + rs.randn(8, 12).astype(np.float32) * 0.1
+    np.save(tmp_path / "gt.npy", gt)
+    write_bin(pred, tmp_path / "pred.bin")
+    eval_disparity.main([str(tmp_path / "pred.bin"),
+                         str(tmp_path / "gt.npy"), "--dense"])
+    out = json.loads(capsys.readouterr().out)
+    assert out["n_valid"] == 96 and out["d1"] == 0.0
+    assert 0 < out["epe"] < 0.2

@@ -392,3 +392,100 @@ print(f"cold-start ok load={{load_s * 1e3:.1f}}ms")
                        cwd="/root/repo")
     assert r.returncode == 0, r.stderr[-2000:]
     assert "cold-start ok" in r.stdout
+
+
+def _write_sbs_video(path, n_frames=8, h=32, w=64):
+    import cv2
+    vw = cv2.VideoWriter(str(path), cv2.VideoWriter_fourcc(*"MJPG"),
+                         10.0, (2 * w, h))
+    assert vw.isOpened()
+    rs = np.random.RandomState(0)
+    frames = []
+    for _ in range(n_frames):
+        f = rs.randint(0, 256, (h, 2 * w, 3), np.uint8)
+        frames.append(f)
+        vw.write(f)
+    vw.release()
+    return frames
+
+
+def test_stereo_video_source_sbs(tmp_path):
+    """Side-by-side splitter: L/R halves on two topics with ONE shared
+    timestamp (the ZED-pair role the reference consumed via
+    zed.launch)."""
+    from redtail_tpu.runtime.sources import StereoVideoSource
+
+    path = tmp_path / "sbs.avi"
+    _write_sbs_video(path)
+    g = NodeGraph()
+    src = StereoVideoSource(g.topic("camera/left"), g.topic("camera/right"),
+                            sbs_path=path, rate_hz=200.0)
+    src.start()
+    deadline = time.monotonic() + 5.0
+    while src.published < 4 and time.monotonic() < deadline:
+        time.sleep(0.01)
+    src.stop()
+    assert src.published >= 4
+    ml = g.topic("camera/left").latest()
+    mr = g.topic("camera/right").latest()
+    assert ml is not None and mr is not None
+    assert ml.stamp == mr.stamp  # shared timestamp -> sync always pairs
+    assert ml.data.shape == (32, 64, 3) and mr.data.shape == (32, 64, 3)
+    assert not np.array_equal(ml.data, mr.data)  # genuinely two halves
+
+
+def test_stereo_video_source_two_files(tmp_path):
+    from redtail_tpu.runtime.sources import StereoVideoSource
+
+    _write_sbs_video(tmp_path / "l.avi", h=32, w=32)
+    _write_sbs_video(tmp_path / "r.avi", h=32, w=32)
+    g = NodeGraph()
+    src = StereoVideoSource(g.topic("l"), g.topic("r"),
+                            left_path=tmp_path / "l.avi",
+                            right_path=tmp_path / "r.avi", rate_hz=200.0)
+    src.start()
+    deadline = time.monotonic() + 5.0
+    while src.published < 3 and time.monotonic() < deadline:
+        time.sleep(0.01)
+    src.stop()
+    assert src.published >= 3
+    assert g.topic("l").latest().stamp == g.topic("r").latest().stamp
+
+
+def test_approx_time_sync_three_way():
+    """N-ary ApproximateTime grouping (the viz node's 3-way sync,
+    stereo_dnn_ros_viz_node.cpp:202-204)."""
+    a, b, c = Topic("a"), Topic("b"), Topic("c")
+    sync = ApproxTimeSync(a, b, 0.05, c)
+    a.publish(1, stamp=10.0)
+    b.publish(2, stamp=10.01)
+    assert sync.take() is None          # c missing
+    c.publish(3, stamp=10.4)
+    assert sync.take() is None          # c out of slop
+    c.publish(4, stamp=10.02)
+    group = sync.take()
+    assert [m.data for m in group] == [1, 2, 4]
+    assert sync.take() is None          # same group not re-delivered
+    a.publish(5, stamp=10.03)
+    assert [m.data for m in sync.take()] == [5, 2, 4]
+
+
+def test_viz_node_writes_mosaics(tmp_path):
+    """VizNode: 2x2 mosaic geometry + periodic writes
+    (`stereo_dnn_ros_viz_node.cpp:202-219`)."""
+    pytest.importorskip("cv2")
+    from redtail_tpu.runtime.nodes import VizNode
+
+    viz = VizNode(tmp_path / "viz", every=2)
+    rs = np.random.RandomState(0)
+    left = rs.randint(0, 256, (20, 30, 3), np.uint8)
+    right = rs.randint(0, 256, (20, 30, 3), np.uint8)
+    disp = rs.rand(20, 30).astype(np.float32) * 90
+    for _ in range(5):
+        viz(left, right, disp)
+    assert viz.frames == 5 and viz.written == 3  # frames 0, 2, 4
+    import cv2
+    files = sorted((tmp_path / "viz").glob("mosaic_*.png"))
+    assert len(files) == 3
+    img = cv2.imread(str(files[0]))
+    assert img.shape == (40, 60, 3)  # 2x2 tiles of (20, 30)
