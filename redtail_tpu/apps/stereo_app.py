@@ -52,6 +52,11 @@ def build_argparser():
                    "reference's printLayerTimes, main.cpp:52-81)")
     p.add_argument("--no-cache", action="store_true",
                    help="disable the persistent compilation cache")
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend (numerics-only runs, e.g. "
+                   "--accuracy tables, avoid the TPU compile service; "
+                   "the env var is overridden by the harness, so this "
+                   "pins it via jax.config before first device use)")
     p.add_argument("--accuracy", metavar="GOLDEN",
                    help="run every serving rung (fp32/bf16/packed/w8/int8) "
                    "on the input pair and print a D1/EPE table vs this "
@@ -159,6 +164,10 @@ def load_params(args, spec):
 
 def main(argv=None):
     args = build_argparser().parse_args(argv)
+
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
 
     import cv2
     import jax

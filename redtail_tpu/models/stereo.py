@@ -410,25 +410,30 @@ def _volume_head_packed(spec, params, full_hw, *, first_packed,
         else:
             target = (spec.full_max_disp, h_full, w_full)
             from redtail_tpu.ops.convolution import conv3d_transpose_dfold
+            import os
             c_out = p["weights"].shape[3]
-            use_dfold = (jax.default_backend() == "tpu" and c_out == 1
+            use_dfold = ((jax.default_backend() == "tpu"
+                          or os.environ.get("REDTAIL_TPU_DFOLD") == "1")
+                         and c_out == 1
                          and p["weights"].shape[:3] == (3, 3, 3)
                          and layout in ("d", "dh"))
             if use_dfold:
-                # unpack H only: dfold's D-to-channels transpose consumes
-                # the D-packed (pd, c) form directly (d-major order), so
-                # the D half of the depth-to-space conv is free
-                if layout == "dh":
-                    x = P.unpack_h_conv(x, spatial)
+                # dfold consumes the packed layout directly — D-packed
+                # (d-major channel order IS its transpose's order) and,
+                # since r3, H-packed too (no unpack_h identity conv);
+                # emits disparity-LAST so the soft-argmin is a lane
+                # reduction and the (N, D, H, W) transpose never happens.
                 x = conv3d_transpose_dfold(x, p["weights"], p["biases"],
                                            out_spatial=target,
-                                           d_packed=True)
-            else:
-                if layout != "none":
-                    x = P.unpack_conv(x, spatial,
-                                      packed_h=(layout == "dh"))
-                x = conv3d_transpose(x, p["weights"], p["biases"],
-                                     out_spatial=target, strides=(2, 2, 2))
+                                           d_packed=True,
+                                           h_packed=(layout == "dh"),
+                                           layout="dlast")
+                return softargmin(x[..., 0], axis=-1)
+            if layout != "none":
+                x = P.unpack_conv(x, spatial,
+                                  packed_h=(layout == "dh"))
+            x = conv3d_transpose(x, p["weights"], p["biases"],
+                                 out_spatial=target, strides=(2, 2, 2))
             layout, spatial = "none", target
     return softargmin(x, axis=1)[..., 0]
 

@@ -402,7 +402,8 @@ def conv3d_transpose_shuffle(y, w, b=None, *, out_spatial,
 
 def conv3d_transpose_dfold(y, w, b=None, *, out_spatial,
                            accum_dtype=jnp.float32, precision=None,
-                           d_packed: bool = False):
+                           d_packed: bool = False, h_packed: bool = False,
+                           layout: str = "ndhwc"):
     """TF conv3d_transpose (k=3, s=2, SAME) with the D axis folded into
     channels: ONE k=2 conv2d whose output channels enumerate
     (H-parity, W-parity, d_out, c_out) and whose input channels are
@@ -416,17 +417,34 @@ def conv3d_transpose_dfold(y, w, b=None, *, out_spatial,
     D_out into the output channels fills the lanes completely; the
     banded zeros cost ~(D/1.5)x redundant FLOPs, which is the right
     trade exactly when c_out is tiny. Auto-selected for c_out == 1.
+
+    ``h_packed`` (requires ``d_packed``): consume the packed3d 'dh'
+    layout (n, Dp, Hp, W, (qh, qd, c)) DIRECTLY — the k=2 conv runs
+    over H slots (each holding a row pair), the original conv-position
+    parity moves into output channels, and one extra output weave
+    recovers the row axis. This deletes the 2.1 ms unpack_h identity
+    conv NVSmall's head otherwise pays: the H window re-expression
+    a_h = 2*a_s + qh - pp is exact.
+
+    ``layout='dlast'``: emit (N, H, W, D, c_out) — see below.
     """
     kd, kh, kw, c_out, c_in = w.shape
     assert (kd, kh, kw) == (3, 3, 3), "dfold impl assumes k=3"
     d_out_n, h_out, w_out = out_spatial
-    n, d_in_n, h_in, w_in, c = y.shape
-    if d_packed:
-        # y is the packed3d (pd, c) layout: its D-to-channels transpose
-        # below produces channels ordered (d2, pd, c) — exactly the
-        # d-major (d, c) order the banded weights index, so the only
-        # change is the TRUE depth/channel bookkeeping.
-        d_in_n, c = 2 * d_in_n, c // 2
+    if h_packed:
+        assert d_packed, "h_packed input implies the 'dh' packed layout"
+        n, dp_n, hs_n, w_in, c4 = y.shape
+        c = c4 // 4
+        d_in_n = 2 * dp_n
+        h_in = -(-h_out // 2)
+    else:
+        n, d_in_n, h_in, w_in, c = y.shape
+        if d_packed:
+            # y is the packed3d (pd, c) layout: its D-to-channels
+            # transpose below produces channels ordered (d2, pd, c) —
+            # exactly the d-major (d, c) order the banded weights index,
+            # so the only change is the TRUE depth/channel bookkeeping.
+            d_in_n, c = 2 * d_in_n, c // 2
     lo_d, lo_h, lo_w = [tf_same_padding(X, 3, 2)[0] for X in out_spatial]
 
     def taps(lo, r):  # same per-dim parity taps as the shuffle impl
@@ -447,8 +465,26 @@ def conv3d_transpose_dfold(y, w, b=None, *, out_spatial,
                                     else w[td, th, tw])
     wh = jnp.stack(rows).reshape(2, 2, 2, 2, 3, c_out, c_in)
 
-    y2 = jnp.transpose(y, (0, 2, 3, 1, 4)).reshape(n, h_in, w_in,
-                                                   d_in_n * c_in)
+    if h_packed:
+        # Split the (qh, qd, c) channel groups: each half transposed to
+        # (N, Hs, W, d-major (d, c)) true-depth channels; the H window
+        # re-expression moves the conv-position parity pp into output
+        # channels with a_h = 2*a_s + qh - pp (out-of-range -> zero).
+        halves = [jnp.transpose(y[..., qh * 2 * c:(qh + 1) * 2 * c],
+                                (0, 2, 3, 1, 4)).reshape(
+                      n, hs_n, w_in, d_in_n * c_in)
+                  for qh in (0, 1)]
+        prow = []
+        for a_s in (0, 1):
+            for qh in (0, 1):
+                for pp in (0, 1):
+                    a_h = 2 * a_s + qh - pp
+                    prow.append(wh[a_h] if 0 <= a_h <= 1
+                                else jnp.zeros_like(wh[0]))
+        whp = jnp.stack(prow).reshape(2, 2, 2, *wh.shape[1:])
+    else:
+        y2 = jnp.transpose(y, (0, 2, 3, 1, 4)).reshape(n, h_in, w_in,
+                                                       d_in_n * c_in)
 
     # The D band B[t, i, o] = [o == 2i - lo_d + t] has ~3/d_in occupancy;
     # one dense conv over all of it burns d_out/17x redundant FLOPs.
@@ -466,20 +502,37 @@ def conv3d_transpose_dfold(y, w, b=None, *, out_spatial,
         i_idx = np.arange(i_lo, i_hi + 1)[None, :, None]
         o_idx = np.arange(ob, ob_hi)[None, None, :]
         band = (o_idx == 2 * i_idx - lo_d + t_idx)
-        k2 = jnp.einsum("tio,xyrstck->xyikrsoc",
-                        jnp.asarray(band, w.dtype), wh)
-        k2 = k2.reshape(2, 2, (i_hi + 1 - i_lo) * c_in,
-                        4 * (ob_hi - ob) * c_out)
+        if h_packed:
+            x_win = jnp.concatenate(
+                [hf[..., i_lo * c_in:(i_hi + 1) * c_in] for hf in halves],
+                axis=-1)
+            k2 = jnp.einsum("tio,xqpyrstck->xyqikprsoc",
+                            jnp.asarray(band, w.dtype), whp)
+            k2 = k2.reshape(2, 2, 2 * (i_hi + 1 - i_lo) * c_in,
+                            8 * (ob_hi - ob) * c_out)
+            pgroups = 8
+        else:
+            x_win = y2[..., i_lo * c_in:(i_hi + 1) * c_in]
+            k2 = jnp.einsum("tio,xyrstck->xyikrsoc",
+                            jnp.asarray(band, w.dtype), wh)
+            k2 = k2.reshape(2, 2, (i_hi + 1 - i_lo) * c_in,
+                            4 * (ob_hi - ob) * c_out)
+            pgroups = 4
         part = lax.conv_general_dilated(
-            y2[..., i_lo * c_in:(i_hi + 1) * c_in], k2, (1, 1),
+            x_win, k2, (1, 1),
             [(1, 1), (1, 1)],
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             preferred_element_type=accum_dtype,
             precision=_precision_for(y, precision))
-        conv_blocks.append(part.reshape(n, h_in + 1, w_in + 1, 4,
-                                        ob_hi - ob, c_out))
+        conv_blocks.append(part.reshape(n, part.shape[1], w_in + 1,
+                                        pgroups, ob_hi - ob, c_out))
     conv = jnp.concatenate(conv_blocks, axis=4) if len(conv_blocks) > 1 \
         else conv_blocks[0]
+    if h_packed:
+        conv = conv.reshape(n, hs_n + 1, w_in + 1, 2, 2, 2, d_out_n, c_out)
+        # recover the conv-position axis p = 2*ps + pp - 1: one weave
+        conv = _weave_axis(conv[:, :, :, 1], conv[:, 1:, :, 0], 1,
+                           h_in + 1)
     conv = conv.reshape(n, h_in + 1, w_in + 1, 2, 2, d_out_n, c_out)
     outs = {}
     for rh in (0, 1):
@@ -491,6 +544,15 @@ def conv3d_transpose_dfold(y, w, b=None, *, out_spatial,
     g = {rh: _weave_axis(outs[(rh, 0)], outs[(rh, 1)], 2, w_out)
          for rh in (0, 1)}
     out = _weave_axis(g[0], g[1], 1, h_out)  # (N, Hout, Wout, Dout, c_out)
+    if layout == "dlast":
+        # Keep D on the (fast) minor axis: the only consumer of the
+        # models' final full-res deconv is the soft-argmin over D, which
+        # is a lane reduction in this layout — and the (N, D, H, W, c)
+        # transpose this skips is a ~sublane-hostile full-volume copy
+        # (measured 5.2 -> 3.4 ms on NVSmall's deconv3D_3 e2e).
+        if b is not None:
+            out = out + b.astype(out.dtype)
+        return out.astype(y.dtype)
     out = jnp.transpose(out, (0, 3, 1, 2, 4))
     if b is not None:
         out = out + b.astype(out.dtype)

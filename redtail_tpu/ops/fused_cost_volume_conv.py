@@ -107,30 +107,52 @@ def cost_volume_conv3d(left, right, w, b=None, max_disp: int = 48,
 
     def d_slices(a, a_sum, bk, cc):
         """The per-disparity accumulation (H-layout-agnostic: only W is
-        indexed, so it runs identically on H-parity-split maps)."""
+        indexed, so it runs identically on H-parity-split maps).
+
+        Shift algebra (r3): shift(bk_i, d+i-1) = shift(shift(bk_i, i-1), d)
+        with zero-fill, exactly, except one column — so the three per-d
+        shifted adds collapse into ONE precomputed map
+        S = shift(bk0, -1) + bk1 + shift(bk2, +1) plus single-column
+        fixups: the composed bk0 term loses value bk0[:, :, 0] at column
+        d-1 (re-added with the cc fixup already landing there), and the
+        out-of-range depth taps at d = 0 / max_disp-1 subtract their
+        S contribution back out.  Halves the loop's full-map HBM reads
+        (a_sum + 3 shifted maps -> a_sum + S)."""
+        z1 = jnp.zeros_like(bk[0][:, :, :1])
+        s_map = (jnp.concatenate([bk[0][:, :, 1:], z1], axis=2) + bk[1]
+                 + jnp.concatenate([z1, bk[2][:, :, :-1]], axis=2))
+        bk0_col0 = bk[0][:, :, 0][:, :, None, :]
+
+        def shift_w(m, k):
+            return jnp.pad(m[:, :, : wd - k], ((0, 0), (0, 0), (k, 0),
+                                               (0, 0))) if k else m
+
         out = []
         for d in range(max_disp):
-            acc = a_sum
+            acc = a_sum + shift_w(s_map, d)
             if d == 0:
-                acc = acc - a[0]
+                # depth tap i=0 (dp=-1) out of range: remove its S part
+                acc = acc - a[0] \
+                    - jnp.concatenate([bk[0][:, :, 1:], z1], axis=2)
             if d == max_disp - 1:
-                acc = acc - a[2]
+                # depth tap i=2 (dp=max_disp) out of range
+                acc = acc - a[2] - shift_w(
+                    jnp.concatenate([z1, bk[2][:, :, :-1]], axis=2), d)
+            col_fix = {}  # column index -> (N, H, 1, K) addend
+
+            def add_col(idx, vec):
+                col_fix[idx] = col_fix.get(idx, 0) + vec
+            if d >= 1:
+                add_col(d - 1, bk0_col0)  # composition fixup (tap 0)
             for i in range(3):
-                dp = d + i - 1  # depth tap hits volume slice d' = d+kd-1
-                if dp < 0 or dp >= max_disp:
-                    continue
-                if dp == 0:
-                    acc = acc + bk[i]
-                    continue
-                shifted = jnp.pad(
-                    bk[i][:, :, : wd - dp],
-                    ((0, 0), (0, 0), (dp, 0), (0, 0)))
-                onehot = (cols == dp - 1).astype(acc.dtype)
-                shifted = shifted \
-                    + cc[i][:, :, 0][:, :, None, :] \
-                    * onehot[None, None, :, None] \
-                    - cc[i][:, :, wd - dp][:, :, None, :] * last_col
-                acc = acc + shifted
+                dp = d + i - 1
+                if 1 <= dp <= max_disp - 1 and dp < wd:
+                    add_col(dp - 1, cc[i][:, :, 0][:, :, None, :])
+                    add_col(wd - 1,
+                            -cc[i][:, :, wd - dp][:, :, None, :])
+            for idx, vec in col_fix.items():
+                onehot = (cols == idx).astype(acc.dtype)
+                acc = acc + vec * onehot[None, None, :, None]
             if b is not None:
                 acc = acc + b.astype(acc.dtype)
             if act is not None:

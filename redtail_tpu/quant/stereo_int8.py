@@ -11,6 +11,16 @@ Usage:
     scales = calibrate_stereo(spec, params, frames)       # (leaf path -> scale)
     qparams = quantize_stereo_params_int8(params, scales)
     disp = stereo_forward(spec, qparams, left, right)     # same forward
+
+Accuracy (measured r3, `stereo_app --accuracy`, sample pair vs the
+reference-TF golden): concat-volume models quantize fully (NVTiny D1
+0.09%). The CORRELATION model's bottleneck is excluded by
+`int8_prefixes` — its input concat(conv1 features, disparity in [0,1])
+cannot share one per-tensor scale (bneck int8 measured 73.8% D1;
+siamese-only 0.90% D1 / 0.30 px EPE). int8 activations are also SLOWER
+than bf16 on TPU (r2 measurement) — this mode exists for the
+reference's INT8-ladder parity and model-size work, not latency;
+weight-only 'w8' is the recommended size rung (D1 <= 0.02%).
 """
 
 from __future__ import annotations
@@ -25,6 +35,19 @@ from redtail_tpu.quant.ptq import CalibrationCollector, quantize_per_channel
 # Leaves under these roots run int8; transposed-conv decoders and the 3D
 # stack stay in the float path.
 INT8_PREFIXES = ("encoder2D", "bneck_encoder2D")
+
+
+def int8_prefixes(spec) -> Tuple[str, ...]:
+    """Which conv stacks run int8 for this model.
+
+    Correlation models (resnet18_2d) quantize ONLY the siamese encoder:
+    the bottleneck's input is concat(conv1 features, disparity in [0,1])
+    — one per-tensor activation scale across those mixed magnitudes
+    crushes the disparity channel to a few levels and destroys accuracy
+    (measured on the sample pair: bneck int8 -> 73.8% D1; siamese-only
+    -> 0.90% D1 / 0.30 px EPE). The concat-volume models keep both
+    prefixes (NVTiny full int8: 0.09% D1)."""
+    return ("encoder2D",) if getattr(spec, "corr", False) else INT8_PREFIXES
 
 
 def _walk_conv_leaves(params, prefix=""):
@@ -56,7 +79,7 @@ def calibrate_stereo(spec, params, frames: Sequence[Tuple[np.ndarray,
 
     id_to_path = {id(leaf): path
                   for path, leaf in _walk_conv_leaves(params)
-                  if path.startswith(INT8_PREFIXES)}
+                  if path.startswith(int8_prefixes(spec))}
     collector = CalibrationCollector(method=method, percentile=percentile)
 
     # One jitted "calibration forward" that returns every tapped conv

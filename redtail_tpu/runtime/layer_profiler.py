@@ -256,23 +256,29 @@ def _packed_plan(spec, params, fl, fr, full_hw, run, entries):
                         pack_h=(sl == "dh")) + s_), x, sk)
             layout, spatial = sk_layout, sk_spatial
         else:
+            import os as _os
+
             import jax as _jax
 
             from redtail_tpu.ops.convolution import conv3d_transpose_dfold
             target = (spec.full_max_disp, h_full, w_full)
             c_out = p["weights"].shape[3]
-            use_dfold = (_jax.default_backend() == "tpu" and c_out == 1
+            use_dfold = ((_jax.default_backend() == "tpu"
+                          or _os.environ.get("REDTAIL_TPU_DFOLD") == "1")
+                         and c_out == 1
                          and p["weights"].shape[:3] == (3, 3, 3)
                          and layout in ("d", "dh"))
             if use_dfold:
-                if layout == "dh":
-                    x = run("unpack_h[pk]",
-                            lambda a, sp=spatial: P.unpack_h_conv(a, sp),
-                            x)
-                x = run(f"{name}[pk]", lambda a, p=p, target=target:
+                x = run(f"{name}[pk]",
+                        lambda a, p=p, target=target, lay=layout:
                         conv3d_transpose_dfold(
                             a, p["weights"], p["biases"],
-                            out_spatial=target, d_packed=True), x)
+                            out_spatial=target, d_packed=True,
+                            h_packed=(lay == "dh"),
+                            layout="dlast"), x)
+                out = run("softargmin",
+                          lambda a: softargmin(a[..., 0], axis=-1), x)
+                return entries, out
             else:
                 if layout != "none":
                     x = run("unpack[pk]",

@@ -96,6 +96,42 @@ def test_dfold_d_packed_matches_unpacked(out_spatial, in_d):
                                  d_packed=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=1e-4, rtol=1e-4)
+    # disparity-LAST emission: same values, (N, H, W, D, c) layout (the
+    # soft-argmin consumer reduces D on the lane axis, skipping the
+    # full-volume transpose)
+    dlast = conv3d_transpose_dfold(xp, w, b, out_spatial=out_spatial,
+                                   d_packed=True, layout="dlast")
+    np.testing.assert_allclose(
+        np.asarray(jnp.transpose(dlast, (0, 3, 1, 2, 4))),
+        np.asarray(want), atol=1e-4, rtol=1e-4)
+
+
+@pytest.mark.parametrize("out_spatial,in_d", [((96, 7, 9), 48),
+                                              ((96, 8, 10), 48),
+                                              ((67, 6, 8), 34),
+                                              ((12, 9, 11), 6),
+                                              ((11, 10, 13), 6)])
+def test_dfold_h_packed_matches_unpacked(out_spatial, in_d):
+    """dfold consuming the FULL 'dh' packed layout (D and H pairs in
+    channels) == dfold on the unpacked tensor — the H window
+    re-expression a_h = 2*a_s + qh - pp plus one output weave; deletes
+    the unpack_h identity conv from the 3D heads."""
+    from redtail_tpu.ops.convolution import conv3d_transpose_dfold
+
+    in_dhw = (in_d, -(-out_spatial[1] // 2), -(-out_spatial[2] // 2))
+    x = _rand((2, *in_dhw, 3))
+    w = _rand((3, 3, 3, 1, 3), 1) * 0.2
+    b = _rand((1,), 2)
+    want = conv3d_transpose_dfold(x, w, b, out_spatial=out_spatial)
+    xp = pack(x, d=True, h=True)
+    for layout in ("ndhwc", "dlast"):
+        got = conv3d_transpose_dfold(xp, w, b, out_spatial=out_spatial,
+                                     d_packed=True, h_packed=True,
+                                     layout=layout)
+        if layout == "dlast":
+            got = jnp.transpose(got, (0, 3, 1, 2, 4))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-4, rtol=1e-4)
 
 
 @pytest.mark.parametrize("dhw", [(8, 10, 12), (7, 9, 11), (6, 9, 13),
