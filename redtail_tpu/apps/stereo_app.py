@@ -52,6 +52,10 @@ def build_argparser():
                    "reference's printLayerTimes, main.cpp:52-81)")
     p.add_argument("--no-cache", action="store_true",
                    help="disable the persistent compilation cache")
+    p.add_argument("--hw", type=int, nargs=2, metavar=("H", "W"),
+                   help="override the spec input size (any size works — "
+                   "shapes derive at trace time; e.g. --hw 321 1025 for "
+                   "the flagship bench config)")
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend (numerics-only runs, e.g. "
                    "--accuracy tables, avoid the TPU compile service; "
@@ -182,6 +186,9 @@ def main(argv=None):
         enable_compilation_cache()
 
     spec = STEREO_SPECS[args.model]
+    if args.hw:
+        import dataclasses
+        spec = dataclasses.replace(spec, input_hw=tuple(args.hw))
     prof = StageProfiler()
     if not args.engine:
         with prof.stage("load_weights"):
@@ -238,14 +245,15 @@ def main(argv=None):
                           np.float32)[0]  # (H, W)
 
     if args.save_engine:
-        from redtail_tpu.runtime.cache import save_engine
+        # Engines compile in a PRISTINE subprocess (XLA AOT artifacts
+        # from a process that already compiled are not portable — see
+        # runtime/engine_builder.py; the reference likewise built TRT
+        # plans in a dedicated builder pass, main.cpp:222-276).
+        from redtail_tpu.runtime.engine_builder import build_stereo_engine
         with prof.stage("save_engine"):
-            save_engine(args.save_engine,
-                        lambda p, l, r: stereo_forward(spec, p, l, r),
-                        params, left, right,
-                        extras={"params": jax.tree.map(np.asarray, params),
-                                "model": args.model, "dtype": args.dtype,
-                                "input_hw": list(spec.input_hw)})
+            build_stereo_engine(args.save_engine, spec, params,
+                                np.asarray(left).shape, dtype=args.dtype,
+                                cpu=args.cpu)
         print(f"engine saved to {args.save_engine}", file=sys.stderr)
 
     if args.profile_layers:

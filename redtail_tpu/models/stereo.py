@@ -252,6 +252,8 @@ def _fused_resnet_towers(params, left, right, orig_hw):
         # the two images separately; see `_conv1`).
         from redtail_tpu.ops.space_to_depth import conv5s2_kernel_to_s2d
         k3 = conv5s2_kernel_to_s2d(enc["conv1"]["weights"], orig_hw)
+        if use_hpack2d():
+            return _hpacked_resnet_towers(enc, x, k3, orig_hw)
         x = elu(conv2d(x, _blockdiag(k3),
                        jnp.tile(enc["conv1"]["biases"], (2,)),
                        strides=(1, 1)))
@@ -266,6 +268,48 @@ def _fused_resnet_towers(params, left, right, orig_hw):
     out = c2d(enc["encoder2D_out"], x)
     c = out.shape[-1] // 2
     return out[..., :c], out[..., c:], conv1_left
+
+
+def _hpacked_resnet_towers(enc, x_s2d, k3, orig_hw):
+    """Block-diagonal towers with H row pairs ALSO folded into channels
+    (`ops/packed2d.py`): the resblocks run at 128 MXU lanes instead of
+    64 — measured 2.56x on the 4-resblock chain. conv1's s2d stem emits
+    the H-packed layout for free (kh=4 stride-2 form); the resblocks
+    alternate pair conventions; one identity-conv unpack at the end."""
+    from redtail_tpu.ops import packed2d as P2
+
+    h_half = -(-orig_hw[0] // 2)
+    f = enc["conv1"]["weights"].shape[3]  # per-tower channels (32)
+    x = P2.conv1_s2d_hpacked(
+        x_s2d, _blockdiag(k3), jnp.tile(enc["conv1"]["biases"], (2,)),
+        h_half=h_half, act=elu)           # (N, hp, W, (q, tower, f))
+    conv1_left = P2.unpack_h2d(jnp.concatenate(
+        [x[..., :f], x[..., 2 * f:3 * f]], axis=-1), h_half)
+    for i in range(1, 9):
+        blk = enc[f"resblock{i}"]
+        y = P2.conv2d_hpacked(x, _blockdiag(blk["res_conv1"]["weights"]),
+                              jnp.tile(blk["res_conv1"]["biases"], (2,)),
+                              h=h_half, in_shifted=False, act=elu)
+        y = P2.conv2d_hpacked(y, _blockdiag(blk["res_conv2"]["weights"]),
+                              jnp.tile(blk["res_conv2"]["biases"], (2,)),
+                              h=h_half, in_shifted=True)
+        x = elu(y + x)
+    out = P2.conv2d_hpacked_keep(
+        x, _blockdiag(enc["encoder2D_out"]["weights"]),
+        jnp.tile(enc["encoder2D_out"]["biases"], (2,)), h=h_half)
+    full = P2.unpack_h2d(out, h_half)     # (N, h, W, (tower, f))
+    c = full.shape[-1] // 2
+    return full[..., :c], full[..., c:], conv1_left
+
+
+def use_hpack2d() -> bool:
+    """H-packed 2D towers (s2d ingest required): default ON on TPU,
+    REDTAIL_TPU_HPACK2D=0/1 overrides."""
+    import os
+    v = os.environ.get("REDTAIL_TPU_HPACK2D")
+    if v is not None:
+        return v == "1"
+    return jax.default_backend() == "tpu"
 
 
 def use_fused_towers() -> bool:

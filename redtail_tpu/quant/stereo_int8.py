@@ -147,6 +147,9 @@ def quantize_stereo_params_int8(params, act_scales: Dict[str, float]):
     return q(params)
 
 
-def int8_layer_paths(params) -> List[str]:
+def int8_layer_paths(params, spec=None) -> List[str]:
+    """Conv-leaf paths that run int8 (pass ``spec`` to apply the
+    per-model prefix policy — see `int8_prefixes`)."""
+    prefixes = INT8_PREFIXES if spec is None else int8_prefixes(spec)
     return [p for p, _ in _walk_conv_leaves(params)
-            if p.startswith(INT8_PREFIXES)]
+            if p.startswith(prefixes)]

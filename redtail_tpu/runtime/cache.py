@@ -50,13 +50,36 @@ def save_engine(path, fn: Callable, *example_args: Any,
 
     ``extras``: optional pickled sidecar dict (e.g. the param pytree as
     numpy arrays, so a fresh process needs neither checkpoint nor model
-    code)."""
+    code).
+
+    PORTABILITY: call this from a process that has not already compiled
+    other XLA programs — repeated compiles suffix internal function
+    names and the serialized artifact then fails to execute after
+    deserialization elsewhere. Production engine builds go through
+    `runtime.engine_builder.build_stereo_engine`, which isolates the
+    compile in a pristine subprocess (the reference's offline TRT
+    builder pass, `main.cpp:222-276`)."""
     import pickle
 
     from jax.experimental import serialize_executable
 
-    compiled = aot_compile(fn, *example_args)
-    payload, in_tree, out_tree = serialize_executable.serialize(compiled)
+    # Compile WITHOUT the persistent cache: serializing a cache-loaded
+    # executable produces an incomplete payload that fails to
+    # deserialize in a fresh process ("Buffer Definition Event:
+    # Function ... not found" — reproduced whenever
+    # enable_compilation_cache ran first in this process).
+    prev = jax.config.jax_compilation_cache_dir
+    try:
+        jax.config.update("jax_compilation_cache_dir", None)
+        # Also drop in-memory executables: serializing one that was
+        # compiled under different cache/process state produced
+        # artifacts whose function names don't resolve on a fresh
+        # process ("... transpose_copy_fusion.1 not found").
+        jax.clear_caches()
+        compiled = aot_compile(fn, *example_args)
+        payload, in_tree, out_tree = serialize_executable.serialize(compiled)
+    finally:
+        jax.config.update("jax_compilation_cache_dir", prev)
     devs = set()
     for s in jax.tree_util.tree_leaves(compiled.input_shardings):
         devs |= set(s.device_set)

@@ -184,7 +184,13 @@ def test_stereo_int8_forward_small():
         frames = [(rs.rand(32, 64, 3).astype(np.float32),
                    rs.rand(32, 64, 3).astype(np.float32)) for _ in range(2)]
         scales = calibrate_stereo(spec, params, frames)
-        assert set(scales) == set(int8_layer_paths(params))
+        assert set(scales) == set(int8_layer_paths(params, spec))
+        if spec.corr:
+            # correlation models keep the bottleneck in bf16: its
+            # concat(conv1, disparity) input can't share one per-tensor
+            # scale (measured 73.8% D1 quantized vs 0.9% excluded)
+            assert not any(p.startswith("bneck") for p in scales)
+            assert any(p.startswith("encoder2D") for p in scales)
         qparams = quantize_stereo_params_int8(params, scales)
         l = jnp.asarray(frames[0][0])[None]
         r = jnp.asarray(frames[0][1])[None]

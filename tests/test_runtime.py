@@ -341,7 +341,13 @@ def test_engine_cold_start_no_model_code(tmp_path):
     """A FRESH process loads the engine with the persistent cache
     disabled, runs it, and never imports the model code — no tracing,
     no compilation (load budget: the reference's '<1 s' plan-load,
-    README.md:39)."""
+    README.md:39).
+
+    The engine comes from the PRISTINE-process builder
+    (`runtime/engine_builder.py`) — an artifact serialized by a process
+    that had already compiled other programs is not portable (XLA:CPU
+    AOT function-name suffixing; reproduced if save_engine is called
+    here directly after other tests' jits)."""
     import subprocess
     import sys
 
@@ -350,7 +356,7 @@ def test_engine_cold_start_no_model_code(tmp_path):
 
     from redtail_tpu.models import (
         STEREO_SPECS, init_stereo_params, stereo_forward)
-    from redtail_tpu.runtime.cache import save_engine
+    from redtail_tpu.runtime.engine_builder import build_stereo_engine
 
     spec = dataclasses.replace(STEREO_SPECS["resnet18_2d"],
                                input_hw=(32, 64), max_disp=4)
@@ -360,9 +366,8 @@ def test_engine_cold_start_no_model_code(tmp_path):
     right = jnp.asarray(rs.rand(1, 32, 64, 3), jnp.float32)
     want = np.asarray(stereo_forward(spec, params, left, right))
     path = tmp_path / "r2d.plan"
-    save_engine(path, lambda p, l, r: stereo_forward(spec, p, l, r),
-                params, left, right,
-                extras={"params": jax.tree.map(np.asarray, params)})
+    build_stereo_engine(path, spec, params, (1, 32, 64, 3),
+                        dtype="fp32", cpu=True)
     np.save(tmp_path / "want.npy", want)
     np.save(tmp_path / "left.npy", np.asarray(left))
     np.save(tmp_path / "right.npy", np.asarray(right))

@@ -143,6 +143,41 @@ def main():
         ("f_s2d_identconv+3x3", lambda a: conv(
             pack_conv(a), w1f_24, ("NHWC", "HWIO", "NHWC")), (img6,)),
     ]
+
+    # --- r3: H-packed resblock chain (pairs of rows in channels,
+    # 64 -> 128 lanes; banded kernels kh=2, 1.33x dense FLOPs).
+    xbd = _r((1, 161, 513, 64), 12)          # block-diag tower state
+    wbd1 = _r((3, 3, 64, 64), 13)
+    wbd2 = _r((3, 3, 64, 64), 14)
+    xhp = _r((1, 81, 513, 128), 15)          # H-packed state
+    whp1 = _r((2, 3, 128, 128), 16)          # banded (dense cost model)
+    whp2 = _r((2, 3, 128, 128), 17)
+
+    def bd_resblock(a, wa, wb):
+        y = elu(conv(a, wa, ("NHWC", "HWIO", "NHWC")))
+        y = conv(y, wb, ("NHWC", "HWIO", "NHWC"))
+        return elu(y + a)
+
+    def hp_resblock(a, wa, wb):
+        y = elu(conv(a, wa, ("NHWC", "HWIO", "NHWC"),
+                     pads=((1, 0), (1, 1))))
+        y = conv(y, wb, ("NHWC", "HWIO", "NHWC"),
+                 pads=((0, 1), (1, 1)))
+        return elu(y + a)
+
+    cases += [
+        ("bd_conv64", lambda a: conv(a, wbd1, ("NHWC", "HWIO", "NHWC")),
+         (xbd,)),
+        ("hp_conv128_banded", lambda a: conv(
+            a, whp1, ("NHWC", "HWIO", "NHWC"), pads=((1, 0), (1, 1))),
+         (xhp,)),
+        ("bd_resblock_chain4", lambda a: bd_resblock(bd_resblock(
+            bd_resblock(bd_resblock(a, wbd1, wbd2), wbd1, wbd2),
+            wbd1, wbd2), wbd1, wbd2), (xbd,)),
+        ("hp_resblock_chain4", lambda a: hp_resblock(hp_resblock(
+            hp_resblock(hp_resblock(a, whp1, whp2), whp1, whp2),
+            whp1, whp2), whp1, whp2), (xhp,)),
+    ]
     for name, fn, args in cases:
         sec = device_time_fn(fn, args)
         print(f"{name:<24s} {sec * 1e3:8.3f} ms")
