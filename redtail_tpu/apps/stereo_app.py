@@ -257,10 +257,19 @@ def main(argv=None):
         print(f"engine saved to {args.save_engine}", file=sys.stderr)
 
     if args.profile_layers:
+        from redtail_tpu.ops.space_to_depth import (
+            space_to_depth2_np, use_s2d_stem)
         from redtail_tpu.runtime.layer_profiler import (
             format_layer_table, profile_stereo_layers)
+        pl, pr = left, right
+        if use_s2d_stem() and args.quantize != "int8":
+            # profile the SERVING input contract (s2d-packed frames)
+            pl = jnp.asarray(space_to_depth2_np(np.asarray(left, np.float32)),
+                             left.dtype)
+            pr = jnp.asarray(space_to_depth2_np(np.asarray(right, np.float32)),
+                             right.dtype)
         with prof.stage("profile_layers"):
-            rows, e2e = profile_stereo_layers(spec, params, left, right)
+            rows, e2e = profile_stereo_layers(spec, params, pl, pr)
         print(format_layer_table(rows, e2e), file=sys.stderr)
 
     if args.accuracy:

@@ -57,10 +57,13 @@ def stereo_layer_plan(spec, params, left, right):
         return out
 
     enc = params["encoder2D"]
+    s2d_in = left.shape[-1] == 12
+    full_hw = spec.input_hw if s2d_in else tuple(left.shape[1:3])
 
     def tower(tag, img):
         x = run(f"{tag}_conv1",
-                lambda a: S._c2d(enc["conv1"], a, stride=2, act="elu"), img)
+                lambda a: S._conv1(enc["conv1"], a, full_hw, act="elu"),
+                img)
         conv1 = x
         if spec.encoder2d == "plain":
             for l in ("conv2", "conv3", "conv4"):
@@ -86,33 +89,81 @@ def stereo_layer_plan(spec, params, left, right):
             and not S._has_quantized(params["encoder2D"]):
         from redtail_tpu.models.stereo import _blockdiag
 
-        def fused_c2d(p, a, *, stride=1, act=None):
-            out = S.conv2d(a, _blockdiag(p["weights"]),
-                           jnp.tile(p["biases"], (2,)),
-                           strides=(stride, stride))
-            return elu(out) if act == "elu" else out
+        if s2d_in and S.use_hpack2d():
+            # mirror `_hpacked_resnet_towers` (the TPU serving path)
+            from redtail_tpu.ops import packed2d as P2
+            from redtail_tpu.ops.space_to_depth import conv5s2_kernel_to_s2d
+            h_half = -(-full_hw[0] // 2)
+            f = enc["conv1"]["weights"].shape[3]
+            k3 = conv5s2_kernel_to_s2d(enc["conv1"]["weights"], full_hw)
+            x = run("towers_conv1[hp]",
+                    lambda a, b2: P2.conv1_s2d_hpacked(
+                        jnp.concatenate([a, b2], -1), _blockdiag(k3),
+                        jnp.tile(enc["conv1"]["biases"], (2,)),
+                        h_half=h_half, act=elu), left, right)
+            conv1 = run("conv1_left_unpack[hp]",
+                        lambda a: P2.unpack_h2d(jnp.concatenate(
+                            [a[..., :f], a[..., 2 * f:3 * f]], -1),
+                            h_half), x)
+            for i in range(1, 9):
+                blk = enc[f"resblock{i}"]
 
-        x = run("towers_conv1[bd]",
-                lambda a, b2: fused_c2d(
-                    enc["conv1"], jnp.concatenate([a, b2], axis=-1),
-                    stride=2, act="elu"), left, right)
-        conv1 = x[..., :x.shape[-1] // 2]
-        for i in range(1, 9):
-            blk = enc[f"resblock{i}"]
+                def block(a, blk=blk):
+                    y = P2.conv2d_hpacked(
+                        a, _blockdiag(blk["res_conv1"]["weights"]),
+                        jnp.tile(blk["res_conv1"]["biases"], (2,)),
+                        h=h_half, in_shifted=False, act=elu)
+                    y = P2.conv2d_hpacked(
+                        y, _blockdiag(blk["res_conv2"]["weights"]),
+                        jnp.tile(blk["res_conv2"]["biases"], (2,)),
+                        h=h_half, in_shifted=True)
+                    return elu(y + a)
 
-            def block(a, blk=blk):
-                y = fused_c2d(blk["res_conv1"], a, act="elu")
-                y = fused_c2d(blk["res_conv2"], y)
-                return elu(y + a)
+                x = run(f"towers_resblock{i}[hp]", block, x)
+            x = run("towers_out[hp]", lambda a: P2.conv2d_hpacked_keep(
+                a, _blockdiag(enc["encoder2D_out"]["weights"]),
+                jnp.tile(enc["encoder2D_out"]["biases"], (2,)),
+                h=h_half), x)
+            x = run("towers_unpack[hp]",
+                    lambda a: P2.unpack_h2d(a, h_half), x)
+            fl, fr = x[..., :x.shape[-1] // 2], x[..., x.shape[-1] // 2:]
+        else:
+            def fused_c2d(p, a, *, stride=1, act=None):
+                out = S.conv2d(a, _blockdiag(p["weights"]),
+                               jnp.tile(p["biases"], (2,)),
+                               strides=(stride, stride))
+                return elu(out) if act == "elu" else out
 
-            x = run(f"towers_resblock{i}[bd]", block, x)
-        x = run("towers_out[bd]",
-                lambda a: fused_c2d(enc["encoder2D_out"], a), x)
-        fl, fr = x[..., :x.shape[-1] // 2], x[..., x.shape[-1] // 2:]
+            def conv1_stage(a, b2):
+                pair = jnp.concatenate([a, b2], axis=-1)
+                if s2d_in:
+                    from redtail_tpu.ops.space_to_depth import (
+                        conv5s2_kernel_to_s2d)
+                    k3 = conv5s2_kernel_to_s2d(enc["conv1"]["weights"],
+                                               full_hw)
+                    return elu(S.conv2d(
+                        pair, _blockdiag(k3),
+                        jnp.tile(enc["conv1"]["biases"], (2,)),
+                        strides=(1, 1)))
+                return fused_c2d(enc["conv1"], pair, stride=2, act="elu")
+
+            x = run("towers_conv1[bd]", conv1_stage, left, right)
+            conv1 = x[..., :x.shape[-1] // 2]
+            for i in range(1, 9):
+                blk = enc[f"resblock{i}"]
+
+                def block(a, blk=blk):
+                    y = fused_c2d(blk["res_conv1"], a, act="elu")
+                    y = fused_c2d(blk["res_conv2"], y)
+                    return elu(y + a)
+
+                x = run(f"towers_resblock{i}[bd]", block, x)
+            x = run("towers_out[bd]",
+                    lambda a: fused_c2d(enc["encoder2D_out"], a), x)
+            fl, fr = x[..., :x.shape[-1] // 2], x[..., x.shape[-1] // 2:]
     else:
         fl, conv1 = tower("left", left)
         fr, _ = tower("right", right)
-    full_hw = tuple(left.shape[1:3])
 
     if spec.corr:
         vol = run("corr_cost_volume",

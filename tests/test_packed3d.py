@@ -330,6 +330,18 @@ def test_packed_layer_plan_matches_forward(monkeypatch):
     assert any("[bd]" in name for name, *_ in entries2)
     np.testing.assert_allclose(np.asarray(out2), want2, atol=1e-5)
 
+    # full TPU serving config: s2d-packed inputs + H-packed towers —
+    # the plan must follow the [hp] path and agree with the forward
+    from redtail_tpu.ops.space_to_depth import space_to_depth2_np
+
+    monkeypatch.setenv("REDTAIL_TPU_HPACK2D", "1")
+    pl = jnp.asarray(space_to_depth2_np(np.asarray(left)))
+    pr = jnp.asarray(space_to_depth2_np(np.asarray(right)))
+    entries3, out3 = stereo_layer_plan(spec2, params2, pl, pr)
+    want3 = np.asarray(stereo_forward(spec2, params2, pl, pr))
+    assert any("[hp]" in name for name, *_ in entries3)
+    np.testing.assert_allclose(np.asarray(out3), want3, atol=1e-5)
+
 
 @pytest.mark.parametrize("model", ["nvtiny", "nvsmall", "resnet18"])
 def test_packed_head_matches_native_forward(model, monkeypatch):
