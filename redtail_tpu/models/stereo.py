@@ -233,10 +233,14 @@ def _blockdiag(w):
     return jnp.concatenate([top, bot], axis=2)
 
 
-def _fused_resnet_towers(params, left, right, orig_hw):
+def _fused_resnet_towers(params, left, right, orig_hw, *, corr=False):
     """Both ResNet-18 towers as ONE chain of block-diagonal convs over
     channel-concatenated images.  Exact (block-diagonal = independent
-    towers; gated vs the per-tower path in tests/test_models.py)."""
+    towers; gated vs the per-tower path in tests/test_models.py).
+
+    Returns (fl, fr, conv1_left, h_packed): ``h_packed`` is True when
+    the features stay in the packed2d layout (corr model on the
+    H-packed path — the correlation head consumes it directly)."""
     enc = params["encoder2D"]
     x = jnp.concatenate([left, right], axis=-1)  # (N, H, W, 6) or packed 24
 
@@ -253,7 +257,9 @@ def _fused_resnet_towers(params, left, right, orig_hw):
         from redtail_tpu.ops.space_to_depth import conv5s2_kernel_to_s2d
         k3 = conv5s2_kernel_to_s2d(enc["conv1"]["weights"], orig_hw)
         if use_hpack2d():
-            return _hpacked_resnet_towers(enc, x, k3, orig_hw)
+            keep = corr and use_hpack_corr()
+            return _hpacked_resnet_towers(enc, x, k3, orig_hw,
+                                          unpack=not keep) + (keep,)
         x = elu(conv2d(x, _blockdiag(k3),
                        jnp.tile(enc["conv1"]["biases"], (2,)),
                        strides=(1, 1)))
@@ -267,15 +273,17 @@ def _fused_resnet_towers(params, left, right, orig_hw):
         x = elu(y + x)
     out = c2d(enc["encoder2D_out"], x)
     c = out.shape[-1] // 2
-    return out[..., :c], out[..., c:], conv1_left
+    return out[..., :c], out[..., c:], conv1_left, False
 
 
-def _hpacked_resnet_towers(enc, x_s2d, k3, orig_hw):
+def _hpacked_resnet_towers(enc, x_s2d, k3, orig_hw, *, unpack=True):
     """Block-diagonal towers with H row pairs ALSO folded into channels
     (`ops/packed2d.py`): the resblocks run at 128 MXU lanes instead of
     64 — measured 2.56x on the 4-resblock chain. conv1's s2d stem emits
     the H-packed layout for free (kh=4 stride-2 form); the resblocks
-    alternate pair conventions; one identity-conv unpack at the end."""
+    alternate pair conventions; one identity-conv unpack at the end —
+    unless ``unpack=False`` (the corr model consumes the packed layout
+    directly: correlation is row-independent)."""
     from redtail_tpu.ops import packed2d as P2
 
     h_half = -(-orig_hw[0] // 2)
@@ -283,8 +291,8 @@ def _hpacked_resnet_towers(enc, x_s2d, k3, orig_hw):
     x = P2.conv1_s2d_hpacked(
         x_s2d, _blockdiag(k3), jnp.tile(enc["conv1"]["biases"], (2,)),
         h_half=h_half, act=elu)           # (N, hp, W, (q, tower, f))
-    conv1_left = P2.unpack_h2d(jnp.concatenate(
-        [x[..., :f], x[..., 2 * f:3 * f]], axis=-1), h_half)
+    conv1_left_p = jnp.concatenate(
+        [x[..., :f], x[..., 2 * f:3 * f]], axis=-1)  # (q, f) packed
     for i in range(1, 9):
         blk = enc[f"resblock{i}"]
         y = P2.conv2d_hpacked(x, _blockdiag(blk["res_conv1"]["weights"]),
@@ -297,6 +305,12 @@ def _hpacked_resnet_towers(enc, x_s2d, k3, orig_hw):
     out = P2.conv2d_hpacked_keep(
         x, _blockdiag(enc["encoder2D_out"]["weights"]),
         jnp.tile(enc["encoder2D_out"]["biases"], (2,)), h=h_half)
+    if not unpack:
+        # packed (q, tower, f): split towers within each parity group
+        fl = jnp.concatenate([out[..., :f], out[..., 2 * f:3 * f]], -1)
+        fr = jnp.concatenate([out[..., f:2 * f], out[..., 3 * f:]], -1)
+        return fl, fr, conv1_left_p
+    conv1_left = P2.unpack_h2d(conv1_left_p, h_half)
     full = P2.unpack_h2d(out, h_half)     # (N, h, W, (tower, f))
     c = full.shape[-1] // 2
     return full[..., :c], full[..., c:], conv1_left
@@ -310,6 +324,21 @@ def use_hpack2d() -> bool:
     if v is not None:
         return v == "1"
     return jax.default_backend() == "tpu"
+
+
+def use_hpack_corr() -> bool:
+    """Correlation head consumes the H-packed features directly
+    (packed corr volume + per-group soft-argmax + packed bneck entry).
+
+    Default OFF — measured SLOWER composed on the v5e (373.5 vs 379.4
+    fps flagship): the two unpack convs it removes were already fusing
+    into the corr volume's per-disparity slices, while the packed
+    volume's per-parity-group channel reductions ((.., 2, C) reshape +
+    sum over the split lane axis) lower worse than the plain lane sum.
+    Same lesson class as r1's pallas CV: isolated wins != composed
+    wins. REDTAIL_TPU_HPACK_CORR=1 opts in (exactness-gated)."""
+    import os
+    return os.environ.get("REDTAIL_TPU_HPACK_CORR") == "1"
 
 
 def use_fused_towers() -> bool:
@@ -340,13 +369,14 @@ def _encode_pair(spec, params, left, right):
     if (spec.encoder2d == "resnet18" and use_fused_towers()
             and _conv_tap is None
             and not _has_quantized(params["encoder2D"])):
-        return _fused_resnet_towers(params, left, right, orig_hw)
+        return _fused_resnet_towers(params, left, right, orig_hw,
+                                    corr=spec.corr)
     if spec.encoder2d == "plain":
         return (_plain_encoder(params, left, orig_hw),
-                _plain_encoder(params, right, orig_hw), None)
+                _plain_encoder(params, right, orig_hw), None, False)
     fl, conv1 = _resnet_encoder(params, left, orig_hw, return_conv1=True)
     fr = _resnet_encoder(params, right, orig_hw)
-    return fl, fr, conv1
+    return fl, fr, conv1, False
 
 
 def _volume_head(spec, params, vol, full_hw, *, first_act=None):
@@ -508,6 +538,10 @@ def _bneck_head(spec, params, d, conv1_act, full_hw):
     for name, _out_ch, stride in spec.bneck_channels:
         x = _c2d(enc[name], x, stride=stride, act="elu")
         acts[name] = x
+    return _bneck_decode(spec, params, x, acts, full_hw)
+
+
+def _bneck_decode(spec, params, x, acts, full_hw):
     dec = params["bneck_decoder2D"]
     h_full, w_full = full_hw
     for name, _out_ch, skip in spec.bneck_dec:
@@ -518,6 +552,47 @@ def _bneck_head(spec, params, d, conv1_act, full_hw):
         if skip is not None:
             x = elu(x + acts[skip])
     return sigmoid(x)[..., 0]  # (N, H, W) in [0, 1]
+
+
+def _bneck_head_hpacked(spec, params, fl_p, fr_p, conv1_left_p, full_hw):
+    """Correlation head consuming H-PACKED features end to end through
+    its stride-1 prefix: packed corr volume (rows are independent in a
+    per-pixel channel dot), per-parity-group soft-argmax, packed
+    concat, and the leading stride-1 bottleneck convs at 2x lanes —
+    ONE unpack where the stride-2 section begins (which is also the
+    decoder's skip resolution, so skips stay unpacked)."""
+    from redtail_tpu.ops import packed2d as P2
+
+    h2 = -(-full_hw[0] // 2)
+    vol_p = P2.corr_cost_volume_hpacked(fl_p, fr_p, spec.max_disp)
+    d_p = P2.softargmax_hpacked(vol_p, h2).astype(conv1_left_p.dtype)
+    f = conv1_left_p.shape[-1] // 2
+    x = jnp.concatenate([conv1_left_p[..., :f], d_p[..., :1],
+                         conv1_left_p[..., f:], d_p[..., 1:]], axis=-1)
+
+    enc = params["bneck_encoder2D"]
+    layers = list(spec.bneck_channels)
+    n_lead = 0
+    while n_lead < len(layers) and layers[n_lead][2] == 1:
+        n_lead += 1
+    n_lead -= n_lead % 2  # packed chain must return to 'aligned'
+    skip_names = {s for _, _, s in spec.bneck_dec if s is not None}
+    while n_lead > 0 and any(layers[i][0] in skip_names
+                             for i in range(n_lead - 1)):
+        n_lead -= 2  # interior packed layers cannot serve skips
+
+    acts: Dict[str, jnp.ndarray] = {}
+    for i in range(n_lead):
+        name = layers[i][0]
+        x = P2.conv2d_hpacked(x, enc[name]["weights"], enc[name]["biases"],
+                              h=h2, in_shifted=(i % 2 == 1), act=elu)
+    x = P2.unpack_h2d(x, h2)
+    if n_lead:
+        acts[layers[n_lead - 1][0]] = x
+    for name, _out_ch, stride in layers[n_lead:]:
+        x = _c2d(enc[name], x, stride=stride, act="elu")
+        acts[name] = x
+    return _bneck_decode(spec, params, x, acts, full_hw)
 
 
 def stereo_forward(spec: StereoSpec, params: Params, left, right):
@@ -542,8 +617,11 @@ def stereo_forward(spec: StereoSpec, params: Params, left, right):
                 f"{s2d_hw(full_hw)})")
     else:
         full_hw = left.shape[1:3]
-    fl, fr, conv1_act = _encode_pair(spec, params, left, right)
+    fl, fr, conv1_act, h_packed = _encode_pair(spec, params, left, right)
     if spec.corr:
+        if h_packed:
+            return _bneck_head_hpacked(spec, params, fl, fr, conv1_act,
+                                       full_hw)
         if use_pallas_cost_volume():
             # Experimental Pallas kernel producing (N, H, D, W); measured
             # slower than the XLA slices form in-context and compiles in

@@ -145,6 +145,41 @@ def conv2d_hpacked_keep(x, w, b=None, *, h: int, act=None,
     return _mask_rows(out.astype(x.dtype), h, shifted=False)
 
 
+def corr_cost_volume_hpacked(left_p, right_p, max_disp: int):
+    """Correlation volume on H-packed ALIGNED features, disparity-last:
+    (N, hp, W, (q, C)) x2 -> (N, hp, W, (q, D)) in fp32.
+
+    Rows are independent in a correlation (pure per-pixel channel dot),
+    so the packed form is the same per-disparity W-slice arithmetic with
+    the channel sum taken per parity group — the features never need
+    unpacking and soft-argmax stays a lane reduction per group."""
+    n, hp, w, c2 = left_p.shape
+    c = c2 // 2
+    lf = left_p.astype(jnp.float32).reshape(n, hp, w, 2, c)
+    rf = right_p.astype(jnp.float32).reshape(n, hp, w, 2, c)
+    slices = []
+    for d in range(max_disp):
+        prod = lf[:, :, d:] * rf[:, :, : w - d]
+        s = jnp.sum(prod, axis=-1)              # (N, hp, w-d, 2)
+        if d:
+            s = jnp.pad(s, ((0, 0), (0, 0), (d, 0), (0, 0)))
+        slices.append(s)
+    vol = jnp.stack(slices, axis=-1)            # (N, hp, W, 2, D)
+    return vol.reshape(n, hp, w, 2 * max_disp)
+
+
+def softargmax_hpacked(vol_p, h: int, *, scale: float = 1.0):
+    """Per-parity-group soft-argmax over D on an H-packed (q, D) volume
+    -> (N, hp, W, 2) packed expectation, with the layout's zero pad
+    rows re-zeroed (soft-argmax of an all-zero row is the MEAN index,
+    not zero — the r2 boundary lesson in new clothing)."""
+    from redtail_tpu.ops.softargmax import softargmax
+    n, hp, w, c2 = vol_p.shape
+    d2 = c2 // 2
+    out = softargmax(vol_p.reshape(n, hp, w, 2, d2), axis=-1) * scale
+    return _mask_rows(out, h, shifted=False)
+
+
 def unpack_h2d(xp, h: int, *, accum_dtype=jnp.float32, precision=None):
     """Aligned H-packed (N, hp, W, 2C) -> (N, h, W, C): identity-weight
     lhs-dilated conv (row-pairs-to-space on the MXU)."""

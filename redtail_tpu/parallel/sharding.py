@@ -102,7 +102,7 @@ def shard_stereo_forward(spec, params, mesh: Mesh, *, mode: str = "image"):
 
     def fwd(p, l, r):
         full_hw = l.shape[1:3]
-        fl, fr, _ = _encode_pair(spec, p, l, r)
+        fl, fr, _, _ = _encode_pair(spec, p, l, r)
         vol = cost_volume(fl, fr, spec.max_disp)
         vol = jax.lax.with_sharding_constraint(vol, vol_s)
         return _volume_head(spec, p, vol, full_hw)

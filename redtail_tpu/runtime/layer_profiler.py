@@ -59,6 +59,7 @@ def stereo_layer_plan(spec, params, left, right):
     enc = params["encoder2D"]
     s2d_in = left.shape[-1] == 12
     full_hw = spec.input_hw if s2d_in else tuple(left.shape[1:3])
+    hp_feats = False  # features left H-packed for the corr head
 
     def tower(tag, img):
         x = run(f"{tag}_conv1",
@@ -101,10 +102,8 @@ def stereo_layer_plan(spec, params, left, right):
                         jnp.concatenate([a, b2], -1), _blockdiag(k3),
                         jnp.tile(enc["conv1"]["biases"], (2,)),
                         h_half=h_half, act=elu), left, right)
-            conv1 = run("conv1_left_unpack[hp]",
-                        lambda a: P2.unpack_h2d(jnp.concatenate(
-                            [a[..., :f], a[..., 2 * f:3 * f]], -1),
-                            h_half), x)
+            conv1 = jnp.concatenate([x[..., :f], x[..., 2 * f:3 * f]],
+                                    -1)  # left tower, still packed
             for i in range(1, 9):
                 blk = enc[f"resblock{i}"]
 
@@ -124,9 +123,20 @@ def stereo_layer_plan(spec, params, left, right):
                 a, _blockdiag(enc["encoder2D_out"]["weights"]),
                 jnp.tile(enc["encoder2D_out"]["biases"], (2,)),
                 h=h_half), x)
-            x = run("towers_unpack[hp]",
-                    lambda a: P2.unpack_h2d(a, h_half), x)
-            fl, fr = x[..., :x.shape[-1] // 2], x[..., x.shape[-1] // 2:]
+            if spec.corr and S.use_hpack_corr():
+                # features STAY packed: the corr head consumes them
+                hp_feats = True
+                fl = jnp.concatenate([x[..., :f], x[..., 2 * f:3 * f]],
+                                     -1)
+                fr = jnp.concatenate([x[..., f:2 * f], x[..., 3 * f:]],
+                                     -1)
+            else:
+                conv1 = run("conv1_left_unpack[hp]",
+                            lambda a: P2.unpack_h2d(a, h_half), conv1)
+                x = run("towers_unpack[hp]",
+                        lambda a: P2.unpack_h2d(a, h_half), x)
+                fl = x[..., :x.shape[-1] // 2]
+                fr = x[..., x.shape[-1] // 2:]
         else:
             def fused_c2d(p, a, *, stride=1, act=None):
                 out = S.conv2d(a, _blockdiag(p["weights"]),
@@ -166,17 +176,55 @@ def stereo_layer_plan(spec, params, left, right):
         fr, _ = tower("right", right)
 
     if spec.corr:
-        vol = run("corr_cost_volume",
-                  lambda a, b: corr_cost_volume_dlast(a, b, spec.max_disp),
-                  fl, fr)
-        d = run("softargmax",
-                lambda v: softargmax(v, axis=-1)[..., None], vol)
-        x = run("concat_conv1",
-                lambda c, dd: jnp.concatenate([c, dd.astype(c.dtype)], -1),
-                conv1, d)
         acts = {}
         benc = params["bneck_encoder2D"]
-        for name, _oc, stride in spec.bneck_channels:
+        if hp_feats:
+            # mirror `_bneck_head_hpacked` (packed corr serving path)
+            from redtail_tpu.ops import packed2d as P2
+            h2 = -(-full_hw[0] // 2)
+            vol = run("corr_cost_volume[hp]",
+                      lambda a, b: P2.corr_cost_volume_hpacked(
+                          a, b, spec.max_disp), fl, fr)
+            d = run("softargmax[hp]",
+                    lambda v: P2.softargmax_hpacked(v, h2), vol)
+            fq = conv1.shape[-1] // 2
+            x = run("concat_conv1[hp]",
+                    lambda c, dd: jnp.concatenate(
+                        [c[..., :fq], dd.astype(c.dtype)[..., :1],
+                         c[..., fq:], dd.astype(c.dtype)[..., 1:]], -1),
+                    conv1, d)
+            layers = list(spec.bneck_channels)
+            n_lead = 0
+            while n_lead < len(layers) and layers[n_lead][2] == 1:
+                n_lead += 1
+            n_lead -= n_lead % 2
+            skips = {s for _, _, s in spec.bneck_dec if s is not None}
+            while n_lead > 0 and any(layers[i][0] in skips
+                                     for i in range(n_lead - 1)):
+                n_lead -= 2
+            for i in range(n_lead):
+                name = layers[i][0]
+                x = run(f"{name}[hp]",
+                        lambda a, name=name, i=i: P2.conv2d_hpacked(
+                            a, benc[name]["weights"],
+                            benc[name]["biases"], h=h2,
+                            in_shifted=(i % 2 == 1), act=elu), x)
+            x = run("bneck_unpack[hp]",
+                    lambda a: P2.unpack_h2d(a, h2), x)
+            if n_lead:
+                acts[layers[n_lead - 1][0]] = x
+            rest = layers[n_lead:]
+        else:
+            vol = run("corr_cost_volume",
+                      lambda a, b: corr_cost_volume_dlast(
+                          a, b, spec.max_disp), fl, fr)
+            d = run("softargmax",
+                    lambda v: softargmax(v, axis=-1)[..., None], vol)
+            x = run("concat_conv1",
+                    lambda c, dd: jnp.concatenate(
+                        [c, dd.astype(c.dtype)], -1), conv1, d)
+            rest = list(spec.bneck_channels)
+        for name, _oc, stride in rest:
             x = run(name, lambda a, name=name, stride=stride:
                     S._c2d(benc[name], a, stride=stride, act="elu"), x)
             acts[name] = x

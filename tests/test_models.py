@@ -114,14 +114,18 @@ def test_s2d_packed_input_parity(name, hw, monkeypatch):
     right = rs.rand(1, h, w, 3).astype(np.float32)
     pl = space_to_depth2(jnp.asarray(left))
     pr = space_to_depth2(jnp.asarray(right))
-    modes = ("0", "1", "hp") if name == "resnet18_2d" else ("0",)
+    modes = ("0", "1", "hp", "hpc") if name == "resnet18_2d" else ("0",)
     for fused in modes:
-        # "hp": fused towers + H-packed resblocks (the full TPU serving
-        # configuration for the flagship, ops/packed2d.py)
+        # "hp": fused towers + H-packed resblocks (the TPU serving
+        # configuration for the flagship, ops/packed2d.py); "hpc" adds
+        # the opt-in packed correlation head (measured slower composed
+        # but kept exactness-gated).
+        hp = fused in ("hp", "hpc")
         monkeypatch.setenv("REDTAIL_TPU_FUSED_TOWERS",
-                           "1" if fused == "hp" else fused)
-        monkeypatch.setenv("REDTAIL_TPU_HPACK2D",
-                           "1" if fused == "hp" else "0")
+                           "1" if hp else fused)
+        monkeypatch.setenv("REDTAIL_TPU_HPACK2D", "1" if hp else "0")
+        monkeypatch.setenv("REDTAIL_TPU_HPACK_CORR",
+                           "1" if fused == "hpc" else "0")
         want = np.asarray(stereo_forward(spec, params, left, right))
         got = np.asarray(stereo_forward(spec, params, pl, pr))
         # fp32 reassociation only (12x3x3 vs 3x5x5 contraction order),
