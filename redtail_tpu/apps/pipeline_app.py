@@ -127,6 +127,9 @@ def main(argv=None):
     from redtail_tpu.runtime.nodes import StereoNode, TrailNetNode, YoloNode
     from redtail_tpu.runtime.sources import SyntheticSource, VideoFileSource
 
+    from redtail_tpu.runtime import enable_compilation_cache
+    enable_compilation_cache()  # engine-cache parity (`tensor_net.cpp:194`)
+
     prof = StageProfiler()
     g = NodeGraph()
 

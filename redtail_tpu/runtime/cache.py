@@ -22,8 +22,30 @@ DEFAULT_CACHE_DIR = os.environ.get(
 
 
 def enable_compilation_cache(cache_dir: Optional[str] = None) -> str:
-    """Enable the JAX persistent compilation cache (idempotent)."""
-    cache_dir = cache_dir or DEFAULT_CACHE_DIR
+    """Enable the JAX persistent compilation cache (idempotent).
+
+    The directory is keyed by BACKEND, and for the CPU backend also by
+    a host-CPU-feature fingerprint: XLA:CPU cache entries embed AOT
+    machine code whose target features are NOT part of the cache key —
+    entries written on a different host loaded as mis-targeted AVX-512
+    code here (observed: cpu_aot_loader feature-mismatch warnings,
+    zstd-corrupt entries, then heap corruption / 'exception not
+    rethrown' crashes in the pipeline). TPU entries are safe to share
+    (same chip target)."""
+    base = Path(cache_dir or DEFAULT_CACHE_DIR)
+    backend = jax.default_backend()
+    sub = backend
+    if backend == "cpu":
+        import hashlib
+        try:
+            with open("/proc/cpuinfo") as f:
+                flags = next(line for line in f
+                             if line.startswith("flags"))
+        except (OSError, StopIteration):
+            import platform
+            flags = platform.processor() or "unknown"
+        sub = "cpu-" + hashlib.sha1(flags.encode()).hexdigest()[:12]
+    cache_dir = str(base / sub)
     Path(cache_dir).mkdir(parents=True, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

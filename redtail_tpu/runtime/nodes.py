@@ -21,6 +21,27 @@ import numpy as np
 from redtail_tpu.runtime.profiler import StageProfiler
 
 
+
+def _host_resize(x_u8: np.ndarray, hw, *, interpolation: str) -> np.ndarray:
+    """Resize camera frames to the model size ON THE HOST so the jitted
+    graph sees ONE shape regardless of camera resolution — an in-jit
+    resize shape-specializes the executable, and an unexpected size
+    (e.g. a video codec rounding 257 rows to 256) triggered a mid-
+    flight recompile that starved the node for minutes (found by
+    thread-dump in the live pipeline). The reference likewise resized
+    host-side (`tensor_net.cpp:303-336` preprocessImage, INTER_CUBIC
+    for caffe models; INTER_AREA for the stereo apps)."""
+    if x_u8.shape[-3:-1] == tuple(hw):
+        return x_u8
+    import cv2
+    interp = {"cubic": cv2.INTER_CUBIC, "area": cv2.INTER_AREA}[interpolation]
+    h, w = hw
+    if x_u8.ndim == 3:
+        return cv2.resize(x_u8, (w, h), interpolation=interp)
+    return np.stack([cv2.resize(f, (w, h), interpolation=interp)
+                     for f in x_u8])
+
+
 class StereoNode:
     """Stereo disparity stage. ``fn(left_bgr_u8, right_bgr_u8) -> disp``."""
 
@@ -132,6 +153,11 @@ class StereoNode:
     def __call__(self, left_u8, right_u8) -> np.ndarray:
         if left_u8.ndim == 3:
             left_u8, right_u8 = left_u8[None], right_u8[None]
+        if not self._s2d:
+            left_u8 = _host_resize(np.asarray(left_u8), self._hw,
+                                   interpolation="area")
+            right_u8 = _host_resize(np.asarray(right_u8), self._hw,
+                                    interpolation="area")
         if self._s2d:
             with self.profiler.stage(f"stereo/{self.spec.name}/pack"):
                 left_u8 = self._host_prep(np.asarray(left_u8))
@@ -164,17 +190,20 @@ class VizNode:
 
     def __call__(self, left_bgr, right_bgr, disp) -> None:
         from redtail_tpu.runtime.viz import make_mosaic
+        self.frames += 1
+        if (self.frames - 1) % self.every:
+            return None  # only BUILD the mosaics we persist — on a
+            # small host the colormap work for dropped frames starved
+            # the other node threads (1-core box: trailnet went 0 fps)
         with self.profiler.stage("viz"):
             mosaic = make_mosaic(np.asarray(left_bgr)[..., ::-1],
                                  np.asarray(right_bgr)[..., ::-1],
                                  np.asarray(disp, np.float32),
                                  self.max_disp)
-            self.frames += 1
-            if (self.frames - 1) % self.every == 0:
-                import cv2
-                path = self.out_dir / f"mosaic_{self.written:05d}.png"
-                cv2.imwrite(str(path), mosaic[..., ::-1])  # RGB -> BGR
-                self.written += 1
+            import cv2
+            path = self.out_dir / f"mosaic_{self.written:05d}.png"
+            cv2.imwrite(str(path), mosaic[..., ::-1])  # RGB -> BGR
+            self.written += 1
         return None
 
 
@@ -189,6 +218,7 @@ class TrailNetNode:
         self.profiler = profiler or StageProfiler()
         self._device = device
         h, w = INPUT_HW
+        self._hw = (h, w)
 
         def run(frame_u8):
             x = frame_u8.astype(jnp.float32)
@@ -203,6 +233,8 @@ class TrailNetNode:
         self._fn = jax.jit(run)
 
     def __call__(self, frame_u8) -> np.ndarray:
+        frame_u8 = _host_resize(np.asarray(frame_u8), self._hw,
+                                interpolation="cubic")
         x = jnp.asarray(frame_u8)
         if self._device is not None:
             x = jax.device_put(x, self._device)
@@ -236,8 +268,11 @@ class YoloNode:
     def __call__(self, frame_u8) -> np.ndarray:
         from redtail_tpu.models import yolo
 
+        frame_u8 = np.asarray(frame_u8)
         h, w = frame_u8.shape[:2] if frame_u8.ndim == 3 \
             else frame_u8.shape[1:3]
+        frame_u8 = _host_resize(frame_u8, (448, 448),
+                                interpolation="cubic")
         x = jnp.asarray(frame_u8)
         if self._device is not None:
             x = jax.device_put(x, self._device)

@@ -173,9 +173,13 @@ class StereoVideoSource:
                 return None
             frames.append(frame)
         if self._sbs:
+            # COPY the halves: publishing views of the decoder's frame
+            # shares a buffer OpenCV may reuse/free while consumer
+            # threads still read it (observed as heap corruption).
             f = frames[0]
             half = f.shape[1] // 2
-            return f[:, :half], f[:, half:]
+            return (np.ascontiguousarray(f[:, :half]),
+                    np.ascontiguousarray(f[:, half:]))
         return frames[0], frames[1]
 
     def _run(self):
