@@ -75,7 +75,15 @@ def _conv(x, k, strides, pads, dil, accum_dtype, precision):
 
 def _mask_slot(y, axis: int, slot: int, ch_pred):
     """Zero channels satisfying ``ch_pred`` at one index of ``axis``
-    (fused iota select — no scatter)."""
+    (fused iota select — no scatter).
+
+    r3 note: a CONSTANT-multiply mask won the isolated A/B at the
+    conv3D_2 shape (7.02 -> 5.50 ms; the where looked unfused) but
+    LOST composed across the 3D zoo (NVSmall 29.4 -> 31.0 ms,
+    ResNet-18 3D 42.6 -> 44.1) — while the same multiply form WON
+    composed in the 2D encoder (packed2d._mask_rows, flagship
+    379 -> 474 fps). Fusion context decides; each module keeps its
+    measured winner."""
     idx = lax.broadcasted_iota(jnp.int32, y.shape, axis)
     cix = lax.broadcasted_iota(jnp.int32, y.shape, y.ndim - 1)
     return jnp.where((idx == slot) & ch_pred(cix), jnp.zeros((), y.dtype), y)
