@@ -395,7 +395,12 @@ def _packed_plan(spec, params, fl, fr, full_hw, run, entries):
 
 def device_time_fn(fn, args, *, n_lo=5, n_hi=35, reps=3) -> float:
     """Sustained per-call seconds of ``fn(*args)`` on-device, measured by
-    the chained-scan / two-length method (see module docstring)."""
+    the chained-scan / two-length method (see module docstring).
+
+    Adaptive: if the first estimate is below ~0.5 ms/call the loop
+    lengths no longer dominate the host RTT noise (sub-0.1 ms layers
+    measured NEGATIVE at flagship speed), so re-measure with loop
+    lengths sized for ~60 ms of device time."""
 
     @partial(jax.jit, static_argnums=1)
     def loop(args, n):
@@ -411,9 +416,6 @@ def device_time_fn(fn, args, *, n_lo=5, n_hi=35, reps=3) -> float:
         _, ms = lax.scan(body, args, None, length=n)
         return ms.sum()
 
-    for n in (n_lo, n_hi):
-        float(loop(args, n))  # compile + warm
-
     def timed(n):
         best = float("inf")
         for _ in range(reps):
@@ -422,7 +424,17 @@ def device_time_fn(fn, args, *, n_lo=5, n_hi=35, reps=3) -> float:
             best = min(best, time.perf_counter() - t0)
         return best
 
-    return (timed(n_hi) - timed(n_lo)) / (n_hi - n_lo)
+    def measure(lo, hi):
+        for n in (lo, hi):
+            float(loop(args, n))  # compile + warm
+        return (timed(hi) - timed(lo)) / (hi - lo)
+
+    est = measure(n_lo, n_hi)
+    if est < 0.5e-3:
+        per = max(est, 2e-6)
+        hi2 = min(4000, max(n_hi * 2, int(0.06 / per)))
+        est = measure(max(n_lo, hi2 // 12), hi2)
+    return est
 
 
 def profile_stereo_layers(spec, params, left, right, *, n_lo=5, n_hi=35,

@@ -494,3 +494,34 @@ def test_viz_node_writes_mosaics(tmp_path):
     assert len(files) == 3
     img = cv2.imread(str(files[0]))
     assert img.shape == (40, 60, 3)  # 2x2 tiles of (20, 30)
+
+
+def test_nodes_shape_stable_across_camera_sizes():
+    """Serving nodes must resize on the HOST so one executable serves
+    any camera size: an in-jit resize shape-specializes per input size
+    and a codec rounding 257 rows to 256 caused a minutes-long
+    mid-flight recompile that starved the live pipeline (r3 thread-dump
+    finding)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from redtail_tpu.models import STEREO_SPECS, init_stereo_params
+    from redtail_tpu.runtime.nodes import StereoNode, TrailNetNode
+
+    rs = np.random.RandomState(0)
+    if _trailnet_available():
+        tn = TrailNetNode()
+        for hw in ((120, 160), (256, 513), (180, 320)):
+            out = tn(rs.randint(0, 255, (*hw, 3), np.uint8))
+            assert out.shape == (6,)
+        assert tn._fn._cache_size() == 1, "TrailNet recompiled per size"
+
+    spec = dataclasses.replace(STEREO_SPECS["resnet18_2d"],
+                               input_hw=(32, 64), max_disp=4)
+    node = StereoNode(spec, init_stereo_params(spec), dtype=jnp.float32)
+    for hw in ((32, 64), (31, 64), (40, 80)):
+        l = rs.randint(0, 255, (*hw, 3), np.uint8)
+        out = node(l, l)
+        assert out.shape == (32, 64)
+    assert node._fn._cache_size() == 1, "StereoNode recompiled per size"
