@@ -180,13 +180,15 @@ def cost_volume_conv3d(left, right, w, b=None, max_disp: int = 48,
         # boundary rows h_split inserted — which must end exactly zero
         # (they are the packed layout's TF-SAME padding; elu(bias) there
         # corrupts every consumer's band algebra). Re-zero them with a
-        # fused row mask: qh=0 rows are originals 2b-1 (b=0 -> -1),
-        # qh=1 rows are 2b; anything outside [0, H) is padding.
-        def _row_mask(qh, like):
-            rows = jnp.arange(hp + 1)
-            orig = 2 * rows - 1 + qh
-            bad = (orig < 0) | (orig > h - 1)
-            return bad[None, :, None, None]
+        # CONSTANT row-mask multiply (exact 0/1; fuses into the slice
+        # epilogues where a where may not): qh=0 rows are originals
+        # 2b-1 (b=0 -> -1), qh=1 rows are 2b; outside [0, H) is padding.
+        import numpy as _np
+
+        def _row_mask(qh, dtype):
+            orig = 2 * _np.arange(hp + 1) - 1 + qh
+            good = ((orig >= 0) & (orig <= h - 1)).astype(_np.float32)
+            return jnp.asarray(good[None, :, None, None], dtype)
 
         outs = []
         for qh in (0, 1):
@@ -194,9 +196,8 @@ def cost_volume_conv3d(left, right, w, b=None, max_disp: int = 48,
                           h_split(a_sum, qh),
                           [h_split(t, qh) for t in bk],
                           [h_split(t, qh) for t in cc])
-            bad = _row_mask(qh, sl[0])
-            outs.append([jnp.where(bad, jnp.zeros((), s.dtype), s)
-                         for s in sl])
+            good = _row_mask(qh, sl[0].dtype)
+            outs.append([s * good for s in sl])
         zslice = jnp.zeros_like(outs[0][0])
 
         def at(qh, d):
