@@ -291,6 +291,13 @@ class UdpLink:
         if sock is None and local is not None:
             self._sock.bind(local)
         self._sock.setblocking(False)
+        # recvfrom reports numeric addresses, so a hostname-configured
+        # remote ("localhost") would never match the pinning compares —
+        # resolve once up front (round-3 review finding).
+        try:
+            remote = (socket.gethostbyname(remote[0]), remote[1])
+        except OSError:
+            pass
         self._remote = remote
         self._configured = remote
         self._pinned = False

@@ -554,6 +554,26 @@ def _bneck_decode(spec, params, x, acts, full_hw):
     return sigmoid(x)[..., 0]  # (N, H, W) in [0, 1]
 
 
+def bneck_lead_count(spec: StereoSpec) -> int:
+    """How many leading stride-1 bottleneck layers run H-packed.
+
+    The packed chain must return to the 'aligned' parity convention
+    (even count) and interior packed layers cannot serve decoder skips
+    (skips are consumed unpacked).  Shared by the serving path
+    (`_bneck_head_hpacked`) and the layer profiler so both always time
+    the same network."""
+    layers = list(spec.bneck_channels)
+    n_lead = 0
+    while n_lead < len(layers) and layers[n_lead][2] == 1:
+        n_lead += 1
+    n_lead -= n_lead % 2  # packed chain must return to 'aligned'
+    skip_names = {s for _, _, s in spec.bneck_dec if s is not None}
+    while n_lead > 0 and any(layers[i][0] in skip_names
+                             for i in range(n_lead - 1)):
+        n_lead -= 2  # interior packed layers cannot serve skips
+    return n_lead
+
+
 def _bneck_head_hpacked(spec, params, fl_p, fr_p, conv1_left_p, full_hw):
     """Correlation head consuming H-PACKED features end to end through
     its stride-1 prefix: packed corr volume (rows are independent in a
@@ -572,14 +592,7 @@ def _bneck_head_hpacked(spec, params, fl_p, fr_p, conv1_left_p, full_hw):
 
     enc = params["bneck_encoder2D"]
     layers = list(spec.bneck_channels)
-    n_lead = 0
-    while n_lead < len(layers) and layers[n_lead][2] == 1:
-        n_lead += 1
-    n_lead -= n_lead % 2  # packed chain must return to 'aligned'
-    skip_names = {s for _, _, s in spec.bneck_dec if s is not None}
-    while n_lead > 0 and any(layers[i][0] in skip_names
-                             for i in range(n_lead - 1)):
-        n_lead -= 2  # interior packed layers cannot serve skips
+    n_lead = bneck_lead_count(spec)
 
     acts: Dict[str, jnp.ndarray] = {}
     for i in range(n_lead):

@@ -101,7 +101,10 @@ def shard_stereo_forward(spec, params, mesh: Mesh, *, mode: str = "image"):
     img_s = NamedSharding(mesh, P(DATA_AXIS))
 
     def fwd(p, l, r):
-        full_hw = l.shape[1:3]
+        # s2d-packed ingest frames (12ch) are half-resolution: the
+        # decoder's full_hw must come from the spec, exactly as
+        # stereo_forward's own guard (models/stereo.py orig_hw).
+        full_hw = spec.input_hw if l.shape[-1] == 12 else l.shape[1:3]
         fl, fr, _, _ = _encode_pair(spec, p, l, r)
         vol = cost_volume(fl, fr, spec.max_disp)
         vol = jax.lax.with_sharding_constraint(vol, vol_s)

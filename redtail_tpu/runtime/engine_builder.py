@@ -27,27 +27,7 @@ from pathlib import Path
 
 import numpy as np
 
-
-def _flatten(tree, prefix=""):
-    out = {}
-    for k, v in tree.items():
-        path = f"{prefix}/{k}" if prefix else k
-        if isinstance(v, dict):
-            out.update(_flatten(v, path))
-        else:
-            out[path] = np.asarray(v)
-    return out
-
-
-def _unflatten(flat):
-    tree = {}
-    for path, arr in flat.items():
-        node = tree
-        parts = path.split("/")
-        for p in parts[:-1]:
-            node = node.setdefault(p, {})
-        node[parts[-1]] = arr
-    return tree
+from redtail_tpu.utils.checkpoint import load_params, save_params
 
 
 def build_stereo_engine(path, spec, params, input_shape, *,
@@ -59,7 +39,7 @@ def build_stereo_engine(path, spec, params, input_shape, *,
     (N, H, W, 3) or s2d-packed (N, ceil(H/2), ceil(W/2), 12)."""
     with tempfile.TemporaryDirectory() as td:
         pfile = Path(td) / "params.npz"
-        np.savez(pfile, **_flatten(params))
+        save_params(params, pfile)
         cmd = [sys.executable, "-m", "redtail_tpu.runtime.engine_builder",
                "--model", spec.name,
                "--hw", str(spec.input_hw[0]), str(spec.input_hw[1]),
@@ -99,12 +79,10 @@ def main(argv=None):
                                input_hw=tuple(args.hw),
                                max_disp=args.max_disp)
     jdt = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
-    flat = dict(np.load(args.params))
-
     def cast(a):
         return jnp.asarray(a, jdt) if np.issubdtype(a.dtype, np.floating) \
             else jnp.asarray(a)
-    params = jax.tree.map(cast, _unflatten(flat))
+    params = jax.tree.map(cast, load_params(args.params))
     example = jnp.zeros(tuple(args.input_shape), jdt)
     save_engine(args.out, lambda p, l, r: stereo_forward(spec, p, l, r),
                 params, example, example,

@@ -76,9 +76,10 @@ class ApproxTimeSync:
     and a 3-way one for the viz node
     (`stereo_dnn_ros_viz_node.cpp:202-204`)."""
 
-    def __init__(self, a: Topic, b: Topic, slop: float = 0.05,
-                 *more: Topic):
-        self.topics = (a, b) + more
+    def __init__(self, *topics: Topic, slop: float = 0.05):
+        if len(topics) < 2:
+            raise ValueError("ApproxTimeSync needs at least two topics")
+        self.topics = topics
         self.slop = slop
         self._last_group: Tuple[int, ...] = (0,) * len(self.topics)
 
@@ -197,8 +198,7 @@ class NodeGraph:
         if sync_slop is not None:
             if len(in_topics) < 2:
                 raise ValueError("ApproxTimeSync requires >= 2 inputs")
-            sync = ApproxTimeSync(in_topics[0], in_topics[1], sync_slop,
-                                  *in_topics[2:])
+            sync = ApproxTimeSync(*in_topics, slop=sync_slop)
         node = Node(name, fn, in_topics,
                     self.topic(output) if output else None,
                     max_rate_hz=max_rate_hz, sync=sync)

@@ -194,14 +194,7 @@ def stereo_layer_plan(spec, params, left, right):
                          c[..., fq:], dd.astype(c.dtype)[..., 1:]], -1),
                     conv1, d)
             layers = list(spec.bneck_channels)
-            n_lead = 0
-            while n_lead < len(layers) and layers[n_lead][2] == 1:
-                n_lead += 1
-            n_lead -= n_lead % 2
-            skips = {s for _, _, s in spec.bneck_dec if s is not None}
-            while n_lead > 0 and any(layers[i][0] in skips
-                                     for i in range(n_lead - 1)):
-                n_lead -= 2
+            n_lead = S.bneck_lead_count(spec)
             for i in range(n_lead):
                 name = layers[i][0]
                 x = run(f"{name}[hp]",

@@ -142,12 +142,7 @@ class StereoNode:
         """Resize (if needed) + BGR->RGB + s2d pack, all on host uint8:
         overlaps device compute in the pipeline; H2D bytes unchanged."""
         from redtail_tpu.ops.space_to_depth import space_to_depth2_np
-        h, w = self._hw
-        if x_u8.shape[1:3] != (h, w):
-            import cv2
-            x_u8 = np.stack([cv2.resize(f, (w, h),
-                                        interpolation=cv2.INTER_AREA)
-                             for f in x_u8])
+        x_u8 = _host_resize(x_u8, self._hw, interpolation="area")
         return space_to_depth2_np(x_u8[..., ::-1])
 
     def __call__(self, left_u8, right_u8) -> np.ndarray:

@@ -284,3 +284,42 @@ def test_udp_link_loopback():
     while not got and time.time() < deadline:
         got = a.recv()
     assert got == frame
+
+
+def test_udp_link_hostname_remote_pins_numeric_peer():
+    """A hostname-configured remote ('localhost') must still adopt the
+    numeric reply address — recvfrom reports IPs, so the pinning
+    compares only work if the configured host resolves at __init__
+    (round-3 review finding)."""
+    import socket
+    import time
+
+    peer = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    peer.bind(("127.0.0.1", 0))
+    peer.setblocking(False)
+    try:
+        link = UdpLink(("localhost", 14999),  # NOT peer's real port
+                       local=("127.0.0.1", 0))
+        assert link._configured[0] == "127.0.0.1"  # resolved at init
+        link_addr = link._sock.getsockname()
+        # peer replies from its own (ephemeral-style) port: same host,
+        # different port than configured -> host-gated first-contact pin
+        peer.sendto(b"\x01hello", link_addr)
+        deadline = time.time() + 2.0
+        while not link.recv() and time.time() < deadline:
+            time.sleep(0.01)
+        assert link._pinned
+        assert link._remote == peer.getsockname()
+        frame = pack_frame(COMMAND_ACK, 0, 1, 1,
+                           dict(command=400, result=0))
+        link.send(frame)
+        got = b""
+        deadline = time.time() + 2.0
+        while not got and time.time() < deadline:
+            try:
+                got, _ = peer.recvfrom(65535)
+            except BlockingIOError:
+                time.sleep(0.01)
+        assert got == frame
+    finally:
+        peer.close()

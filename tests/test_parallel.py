@@ -193,3 +193,23 @@ def test_disparity_sharded_full_d_nvsmall_matches():
     # sub-millipixel: fp32 accumulation order differs across shards
     # (measured 4.2e-4 max at this geometry; a halo bug is pixels)
     np.testing.assert_allclose(got, want, atol=1e-3)
+
+
+def test_disparity_sharded_forward_s2d_packed_full_res():
+    """Disparity-mode sharding fed s2d-packed ingest frames must emit
+    the FULL-resolution map (round-3 review finding: full_hw was taken
+    from the packed input's spatial dims, silently halving the output)."""
+    from redtail_tpu.ops.space_to_depth import space_to_depth2_np
+
+    spec = dataclasses.replace(STEREO_SPECS["nvtiny"], input_hw=(32, 64),
+                               max_disp=8)
+    params = init_stereo_params(spec)
+    left, right = _pair(spec)
+    want = np.asarray(stereo_forward(spec, params, left, right))
+    assert want.shape[1:] == (32, 64)
+    mesh = make_mesh(data=1, spatial=8)
+    fn = shard_stereo_forward(spec, params, mesh, mode="disparity")
+    got = np.asarray(fn(params, jnp.asarray(space_to_depth2_np(left)),
+                        jnp.asarray(space_to_depth2_np(right))))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=2e-4)

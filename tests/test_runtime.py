@@ -461,7 +461,7 @@ def test_approx_time_sync_three_way():
     """N-ary ApproximateTime grouping (the viz node's 3-way sync,
     stereo_dnn_ros_viz_node.cpp:202-204)."""
     a, b, c = Topic("a"), Topic("b"), Topic("c")
-    sync = ApproxTimeSync(a, b, 0.05, c)
+    sync = ApproxTimeSync(a, b, c, slop=0.05)
     a.publish(1, stamp=10.0)
     b.publish(2, stamp=10.01)
     assert sync.take() is None          # c missing
