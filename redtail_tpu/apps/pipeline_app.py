@@ -115,6 +115,9 @@ def _setup_fcu(args, ctl, vehicle):
 
 def main(argv=None):
     args = build_argparser().parse_args(argv)
+    if bool(args.video_left) != bool(args.video_right):
+        raise SystemExit("--video-left and --video-right must be given "
+                         "together (or use --video-sbs)")
 
     import numpy as np
 
@@ -226,9 +229,6 @@ def main(argv=None):
     # --- sources
     shape = (spec.input_hw[0], spec.input_hw[1], 3)
     src_r = None
-    if bool(args.video_left) != bool(args.video_right):
-        raise SystemExit("--video-left and --video-right must be given "
-                         "together (or use --video-sbs)")
     if args.video_sbs or (args.video_left and args.video_right):
         from redtail_tpu.runtime.sources import StereoVideoSource
         src_l = StereoVideoSource(

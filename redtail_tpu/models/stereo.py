@@ -497,12 +497,14 @@ def _volume_head_packed(spec, params, full_hw, *, first_packed,
                 # since r3, H-packed too (no unpack_h identity conv);
                 # emits disparity-LAST so the soft-argmin is a lane
                 # reduction and the (N, D, H, W) transpose never happens.
-                x = conv3d_transpose_dfold(x, p["weights"], p["biases"],
-                                           out_spatial=target,
-                                           d_packed=True,
-                                           h_packed=(layout == "dh"),
-                                           layout="dlast")
-                return softargmin(x[..., 0], axis=-1)
+                # reduce=: soft-argmin runs per parity map BEFORE the
+                # full-res weaves (exact; the weaves were the layer's
+                # real cost — see conv3d_transpose_dfold).
+                return conv3d_transpose_dfold(
+                    x, p["weights"], p["biases"], out_spatial=target,
+                    d_packed=True, h_packed=(layout == "dh"),
+                    layout="dlast",
+                    reduce=lambda t: softargmin(t[..., 0], axis=-1))
             if layout != "none":
                 x = P.unpack_conv(x, spatial,
                                   packed_h=(layout == "dh"))

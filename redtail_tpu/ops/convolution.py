@@ -19,7 +19,7 @@ All matmul-shaped work accumulates in fp32 on the MXU via
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -403,7 +403,9 @@ def conv3d_transpose_shuffle(y, w, b=None, *, out_spatial,
 def conv3d_transpose_dfold(y, w, b=None, *, out_spatial,
                            accum_dtype=jnp.float32, precision=None,
                            d_packed: bool = False, h_packed: bool = False,
-                           layout: str = "ndhwc"):
+                           layout: str = "ndhwc",
+                           d_block: Optional[int] = None,
+                           reduce=None):
     """TF conv3d_transpose (k=3, s=2, SAME) with the D axis folded into
     channels: ONE k=2 conv2d whose output channels enumerate
     (H-parity, W-parity, d_out, c_out) and whose input channels are
@@ -427,6 +429,12 @@ def conv3d_transpose_dfold(y, w, b=None, *, out_spatial,
     a_h = 2*a_s + qh - pp is exact.
 
     ``layout='dlast'``: emit (N, H, W, D, c_out) — see below.
+    ``d_block``: override the D-output block split (default: 32 when
+    D_out > 48, else unsplit). ``reduce``: per-pixel reduction over the
+    trailing (D, c_out) dims (e.g. the models' soft-argmin) applied to
+    each parity map BEFORE the full-resolution weaves — exact, because
+    the weaves are pure spatial interleaves/slices; requires 'dlast'
+    and returns (N, H_out, W_out).
     """
     kd, kh, kw, c_out, c_in = w.shape
     assert (kd, kh, kw) == (3, 3, 3), "dfold impl assumes k=3"
@@ -492,7 +500,14 @@ def conv3d_transpose_dfold(y, w, b=None, *, out_spatial,
     # each block reads only its ~17-deep input window — a CONTIGUOUS
     # channel slice of y2 — cutting dense FLOPs ~2.8x at NVSmall's
     # deconv3D_3 while leaving the MXU-friendly structure intact.
-    blk = 32 if d_out_n > 48 else d_out_n
+    # Block sweep (tools/microbench_dfold.py, v5e, bf16, reduce-fused):
+    # h_packed minimizes at blk=16 (8 parity groups keep 8*16 = 128
+    # output lanes while the input window narrows to ~10 slots) —
+    # NVSmall deconv3D_3 7.9 -> 6.9 ms, ResNet-18 deconv3D_5
+    # 11.6 -> 9.5; blk=12 regresses (96 lanes). Non-packed keeps the
+    # 4-group 4*32 = 128-lane split for D_out > 48.
+    blk = d_block or (16 if h_packed else
+                      (32 if d_out_n > 48 else d_out_n))
     conv_blocks = []
     for ob in range(0, d_out_n, blk):
         ob_hi = min(ob + blk, d_out_n)
@@ -528,12 +543,28 @@ def conv3d_transpose_dfold(y, w, b=None, *, out_spatial,
                                         pgroups, ob_hi - ob, c_out))
     conv = jnp.concatenate(conv_blocks, axis=4) if len(conv_blocks) > 1 \
         else conv_blocks[0]
+    rest = (d_out_n, c_out)
+    if reduce is not None:
+        # The parity weaves below are pure spatial interleaves/slices, so
+        # any PER-PIXEL consumer (the models' soft-argmin over D) commutes
+        # with them: reduce each parity map first and weave the scalar
+        # disparity maps instead of the full (H, W, D) volume — the weave
+        # passes were the layer's real cost (fp32 full-res volume traffic;
+        # NVSmall deconv3D_3[pk] measured 9.4 ms in-context, dominated by
+        # glue, vs ~0.7 ms conv roofline). Bias + the output-dtype cast
+        # happen before the reduction, exactly as the dlast tail orders
+        # them, so this is bit-identical to reduce(dlast_output).
+        assert layout == "dlast", "reduce= requires layout='dlast'"
+        if b is not None:
+            conv = conv + b.astype(conv.dtype)
+        conv = reduce(conv.astype(y.dtype))  # (..., pgroups) per pixel
+        rest = ()
     if h_packed:
-        conv = conv.reshape(n, hs_n + 1, w_in + 1, 2, 2, 2, d_out_n, c_out)
+        conv = conv.reshape(n, hs_n + 1, w_in + 1, 2, 2, 2, *rest)
         # recover the conv-position axis p = 2*ps + pp - 1: one weave
         conv = _weave_axis(conv[:, :, :, 1], conv[:, 1:, :, 0], 1,
                            h_in + 1)
-    conv = conv.reshape(n, h_in + 1, w_in + 1, 2, 2, d_out_n, c_out)
+    conv = conv.reshape(n, h_in + 1, w_in + 1, 2, 2, *rest)
     outs = {}
     for rh in (0, 1):
         for rw in (0, 1):
@@ -543,7 +574,9 @@ def conv3d_transpose_dfold(y, w, b=None, *, out_spatial,
             outs[(rh, rw)] = t[:, off_h:, off_w:]
     g = {rh: _weave_axis(outs[(rh, 0)], outs[(rh, 1)], 2, w_out)
          for rh in (0, 1)}
-    out = _weave_axis(g[0], g[1], 1, h_out)  # (N, Hout, Wout, Dout, c_out)
+    out = _weave_axis(g[0], g[1], 1, h_out)  # (N, Hout, Wout[, Dout, c])
+    if reduce is not None:
+        return out  # (N, Hout, Wout): bias/cast/reduce already applied
     if layout == "dlast":
         # Keep D on the (fast) minor axis: the only consumer of the
         # models' final full-res deconv is the soft-argmin over D, which

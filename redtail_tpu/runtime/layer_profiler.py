@@ -361,15 +361,16 @@ def _packed_plan(spec, params, fl, fr, full_hw, run, entries):
                          and p["weights"].shape[:3] == (3, 3, 3)
                          and layout in ("d", "dh"))
             if use_dfold:
-                x = run(f"{name}[pk]",
-                        lambda a, p=p, target=target, lay=layout:
-                        conv3d_transpose_dfold(
-                            a, p["weights"], p["biases"],
-                            out_spatial=target, d_packed=True,
-                            h_packed=(lay == "dh"),
-                            layout="dlast"), x)
-                out = run("softargmin",
-                          lambda a: softargmin(a[..., 0], axis=-1), x)
+                # serving fuses the soft-argmin into the deconv's parity
+                # maps (reduce=), so the profiler times them as ONE layer
+                out = run(f"{name}+softargmin[pk]",
+                          lambda a, p=p, target=target, lay=layout:
+                          conv3d_transpose_dfold(
+                              a, p["weights"], p["biases"],
+                              out_spatial=target, d_packed=True,
+                              h_packed=(lay == "dh"), layout="dlast",
+                              reduce=lambda t: softargmin(t[..., 0],
+                                                          axis=-1)), x)
                 return entries, out
             else:
                 if layout != "none":

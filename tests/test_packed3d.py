@@ -363,3 +363,32 @@ def test_packed_head_matches_native_forward(model, monkeypatch):
     monkeypatch.setenv("REDTAIL_TPU_PACKED3D", "1")
     got = np.asarray(stereo_forward(spec, params, left, right))
     np.testing.assert_allclose(got, want, atol=5e-4, rtol=1e-4)
+
+
+@pytest.mark.parametrize("out_spatial,in_d,h_packed",
+                         [((96, 7, 9), 48, True), ((96, 8, 10), 48, False),
+                          ((11, 10, 13), 6, True)])
+def test_dfold_reduce_commutes_with_weaves(out_spatial, in_d, h_packed):
+    """reduce= (the models' fused soft-argmin) applied per parity map
+    BEFORE the full-res weaves == soft-argmin of the woven dlast volume:
+    the weaves are pure spatial interleaves/slices, so any per-pixel
+    reduction commutes exactly."""
+    from redtail_tpu.ops.convolution import conv3d_transpose_dfold
+    from redtail_tpu.ops.softargmax import softargmin
+
+    in_dhw = (in_d, -(-out_spatial[1] // 2), -(-out_spatial[2] // 2))
+    x = _rand((2, *in_dhw, 3))
+    w = _rand((3, 3, 3, 1, 3), 1) * 0.2
+    b = _rand((1,), 2)
+    xp = pack(x, d=True, h=h_packed)
+    dlast = conv3d_transpose_dfold(xp, w, b, out_spatial=out_spatial,
+                                   d_packed=True, h_packed=h_packed,
+                                   layout="dlast")
+    want = softargmin(dlast[..., 0], axis=-1)
+    got = conv3d_transpose_dfold(
+        xp, w, b, out_spatial=out_spatial, d_packed=True,
+        h_packed=h_packed, layout="dlast",
+        reduce=lambda t: softargmin(t[..., 0], axis=-1))
+    assert got.shape == want.shape == (2, *out_spatial[1:])
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-6, rtol=0)

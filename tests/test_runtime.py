@@ -525,3 +525,13 @@ def test_nodes_shape_stable_across_camera_sizes():
         out = node(l, l)
         assert out.shape == (32, 64)
     assert node._fn._cache_size() == 1, "StereoNode recompiled per size"
+
+
+def test_pipeline_app_rejects_single_sided_video():
+    """--video-left without --video-right must fail fast instead of
+    silently running synthetic frames (round-3 review finding)."""
+    import pytest as _pytest
+
+    from redtail_tpu.apps.pipeline_app import main
+    with _pytest.raises(SystemExit, match="together"):
+        main(["--video-left", "l.avi", "--duration", "0.1"])
