@@ -119,6 +119,27 @@ def _kernel(w, A_d, A_h, A_w, *, transposed=False):
     return k.reshape(Sd, Sh, Sw, qh * qd * ci, rh * rd * co)
 
 
+def _pallas_bh(xp, k) -> Optional[int]:
+    """H-block size for the Mosaic stride-1 conv path, or None.
+
+    Opt-in (REDTAIL_TPU_PALLAS_CONV3D=1; ~10 min Mosaic compile per
+    shape through the remote service, then cached).  Needs batch 1 and
+    an H_out divisible by a reasonable block.  Measured 0.29x vs the
+    XLA lowering at NVSmall's conv3D_2 shape — kept as the measured
+    closure of the custom-kernel lever, NOT a production path (see
+    kernels/conv223_pallas.py docstring)."""
+    import os
+    if os.environ.get("REDTAIL_TPU_PALLAS_CONV3D") != "1":
+        return None
+    if xp.shape[0] != 1 or k.shape[:3] != (2, 2, 3):
+        return None
+    h_out = xp.shape[2] - 1
+    for bh in (3, 4, 5, 6, 2):   # small blocks: Mosaic scoped-vmem limit
+        if h_out % bh == 0:
+            return bh
+    return None
+
+
 def _bias(out, b, groups):
     if b is None:
         return out
@@ -249,10 +270,19 @@ def conv3d_packed(xp, w, b=None, *, full_spatial, packed_h: bool = True,
         pad_d = pad_h = (1, 1)                      # -> shifted out
     if not packed_h:
         pad_h = (1, 1)
-    out = _conv(xp, k, (1, 1, 1), [pad_d, pad_h, (1, 1)], (1, 1, 1),
-                accum_dtype, precision)
     groups = 4 if packed_h else 2
-    out = _bias(out, b, groups)
+    bh = _pallas_bh(xp, k) if in_shifted and packed_h else None
+    if bh is not None:
+        # Mosaic fast path (opt-in REDTAIL_TPU_PALLAS_CONV3D=1): same
+        # dense (2,2,3) conv, fp32 accumulation, bias fused pre-cast.
+        from redtail_tpu.kernels.conv223_pallas import conv223_pallas
+        bt = (jnp.tile(b, (groups,)) if b is not None
+              else jnp.zeros((k.shape[-1],), xp.dtype))
+        out = conv223_pallas(xp, k.astype(xp.dtype), bt, bh=bh)
+    else:
+        out = _conv(xp, k, (1, 1, 1), [pad_d, pad_h, (1, 1)], (1, 1, 1),
+                    accum_dtype, precision)
+        out = _bias(out, b, groups)
     co = out.shape[-1] // groups
     if in_shifted:
         # aligned out: zero the odd-size pad slots

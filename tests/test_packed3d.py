@@ -392,3 +392,21 @@ def test_dfold_reduce_commutes_with_weaves(out_spatial, in_d, h_packed):
     assert got.shape == want.shape == (2, *out_spatial[1:])
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=1e-6, rtol=0)
+
+
+@pytest.mark.parametrize("dhw", [(8, 17, 12), (7, 18, 16)])
+def test_conv3d_packed_pallas_matches_xla(monkeypatch, dhw):
+    """The Mosaic stride-1 conv path (interpret mode off-TPU) == the XLA
+    dense-conv path, full packed semantics (bias, masks, parities)."""
+    cin = cout = 4
+    x = _rand((1, *dhw, cin))
+    w = _rand((3, 3, 3, cin, cout), 1) * 0.2
+    b = _rand((cout,), 2)
+    xp = pack(x, d=True, h=True, shifted=True)
+    want = conv3d_packed(xp, w, b, full_spatial=dhw, packed_h=True,
+                         in_shifted=True)
+    monkeypatch.setenv("REDTAIL_TPU_PALLAS_CONV3D", "1")
+    got = conv3d_packed(xp, w, b, full_spatial=dhw, packed_h=True,
+                        in_shifted=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
