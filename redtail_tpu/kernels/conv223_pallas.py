@@ -58,7 +58,7 @@ def _interpret() -> bool:
 
 
 def _conv223_kernel(xm0, xm1, xh0, xh1, k_ref, b_ref, o_ref,
-                    scr0, scr1, acc_ref, *, bh: int, w: int):
+                    scr0, scr1, acc_ref, *, bh: int, w: int, prec):
     # Build the two depth-slots' zero-edged (BH+1, W+2, C) windows.
     for scr, xm, xh in ((scr0, xm0, xh0), (scr1, xm1, xh1)):
         scr[:, 0, :] = jnp.zeros_like(scr[:, 0, :])
@@ -77,7 +77,8 @@ def _conv223_kernel(xm0, xm1, xh0, xh1, k_ref, b_ref, o_ref,
                 acc_ref[:] = acc_ref[:] + lax.dot_general(
                     xi, k_ref[td, th, tw],
                     dimension_numbers=(((2,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
+                    preferred_element_type=jnp.float32,
+                    precision=prec)
     o_ref[0, 0] = acc_ref[:].astype(o_ref.dtype)
 
 
@@ -97,12 +98,16 @@ def conv223_pallas(xp, k, b, *, bh: int = 3, interpret=None):
     nhb = h_out // bh
     if interpret is None:
         interpret = _interpret()
+    # Match ops/convolution.py:_precision_for — fp32 inputs need HIGHEST
+    # or the MXU rounds operands to bf16 (fp32-exactness rule).
+    prec = (lax.Precision.HIGHEST if xp.dtype == jnp.float32
+            else lax.Precision.DEFAULT)
 
     grid = (d_out, nhb)
     main = pl.BlockSpec((1, 1, bh, w, c), memory_space=pltpu.VMEM)
     halo = pl.BlockSpec((1, 1, 1, w, c), memory_space=pltpu.VMEM)
     out = pl.pallas_call(
-        functools.partial(_conv223_kernel, bh=bh, w=w),
+        functools.partial(_conv223_kernel, bh=bh, w=w, prec=prec),
         grid=grid,
         in_specs=[
             # block-unit maps: dp blocks of 1 -> element dp; hp main
@@ -115,11 +120,10 @@ def conv223_pallas(xp, k, b, *, bh: int = 3, interpret=None):
                          lambda d, h: (0, d + 1, h, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, 1, w, c),
-                         lambda d, h: (0, d, (h + 1) * (h_out // nhb), 0, 0),
+                         lambda d, h: (0, d, (h + 1) * bh, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, 1, w, c),
-                         lambda d, h: (0, d + 1, (h + 1) * (h_out // nhb),
-                                       0, 0),
+                         lambda d, h: (0, d + 1, (h + 1) * bh, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),          # kernel
             pl.BlockSpec(memory_space=pltpu.VMEM),          # bias (1, K)

@@ -134,8 +134,17 @@ def _pallas_bh(xp, k) -> Optional[int]:
     if xp.shape[0] != 1 or k.shape[:3] != (2, 2, 3):
         return None
     h_out = xp.shape[2] - 1
-    for bh in (3, 4, 5, 6, 2):   # small blocks: Mosaic scoped-vmem limit
-        if h_out % bh == 0:
+    w, c = xp.shape[3], xp.shape[4]
+    for bh in (6, 5, 4, 3, 2):   # largest block first (M=BH*W drives MXU)
+        if h_out % bh:
+            continue
+        # Rough scoped-vmem bound (~32 MB): double-buffered in/out blocks
+        # + the two window scratches + the fp32 accumulator.
+        itemsize = xp.dtype.itemsize
+        vmem = (4 * bh * w * c * itemsize * 2        # 2 in-blocks, 2x buf
+                + 2 * (bh + 1) * (w + 2) * c * itemsize
+                + bh * w * k.shape[-1] * (4 + 2 * itemsize))
+        if vmem <= 28 * 2 ** 20:
             return bh
     return None
 

@@ -403,9 +403,13 @@ def test_conv3d_packed_pallas_matches_xla(monkeypatch, dhw):
     w = _rand((3, 3, 3, cin, cout), 1) * 0.2
     b = _rand((cout,), 2)
     xp = pack(x, d=True, h=True, shifted=True)
+    monkeypatch.delenv("REDTAIL_TPU_PALLAS_CONV3D", raising=False)
     want = conv3d_packed(xp, w, b, full_spatial=dhw, packed_h=True,
                          in_shifted=True)
     monkeypatch.setenv("REDTAIL_TPU_PALLAS_CONV3D", "1")
+    from redtail_tpu.ops.packed3d import _pallas_bh
+    assert _pallas_bh(xp, np.zeros((2, 2, 3, 4 * cin, 4 * cout))) \
+        is not None, "gate must take the Mosaic path (else test is vacuous)"
     got = conv3d_packed(xp, w, b, full_spatial=dhw, packed_h=True,
                         in_shifted=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
