@@ -273,9 +273,13 @@ def main(argv=None):
         print(format_layer_table(rows, e2e), file=sys.stderr)
 
     if args.accuracy:
-        golden = np.squeeze(np.load(args.accuracy)) if \
-            args.accuracy.endswith(".npy") else None
-        if golden is None:
+        if args.accuracy.endswith(".npy"):
+            golden = np.squeeze(np.load(args.accuracy))
+        elif args.accuracy.endswith(".npz"):
+            # the checked-in golden bundles (tests/data/*_golden.npz)
+            # carry the reference-graph disparity under 'disp'
+            golden = np.squeeze(np.load(args.accuracy)["disp"])
+        else:
             from redtail_tpu.io import read_bin
             golden = np.squeeze(read_bin(args.accuracy))
         golden_px = golden * w if spec.corr else golden * args.golden_scale
