@@ -431,7 +431,22 @@ def _volume_head_packed(spec, params, full_hw, *, first_packed,
     emit each skip's layout directly from the transposed conv; the final
     full-res deconv and soft-argmin run native (dfold handles c_out=1).
     """
+    import os
+
     from redtail_tpu.ops import packed3d as P
+
+    # Per-layer mask lowering (the measured winner differs by fusion
+    # context — see packed3d._mask_slot). Default 'auto' = each mask
+    # family's measured winner; REDTAIL_TPU_MASK_MUL (comma list of
+    # layer names) forces 'mul' per layer and REDTAIL_TPU_MASK_FORM
+    # forces one form globally (both are sweep/measurement knobs).
+    global_form = os.environ.get("REDTAIL_TPU_MASK_FORM")
+    mul_layers = frozenset(
+        s for s in os.environ.get("REDTAIL_TPU_MASK_MUL", "").split(",") if s)
+
+    def _mf(name):
+        return P.mask_form(global_form or
+                           ("mul" if name in mul_layers else "auto"))
 
     enc3 = params["encoder3D"]
     layers = spec.enc3d
@@ -446,17 +461,19 @@ def _volume_head_packed(spec, params, full_hw, *, first_packed,
             if layout == "none":
                 x = elu(conv3d(x, w_, b_))
             else:
-                x = elu(P.conv3d_packed(x, w_, b_, full_spatial=spatial,
-                                        packed_h=(layout == "dh"),
-                                        in_shifted=conv_shift))
+                with _mf(layer.name):
+                    x = elu(P.conv3d_packed(x, w_, b_, full_spatial=spatial,
+                                            packed_h=(layout == "dh"),
+                                            in_shifted=conv_shift))
                 conv_shift = not conv_shift
         else:
             assert not conv_shift, \
                 f"{layer.name}: downsample needs an aligned input"
             if layout == "dh" or (layout == "d" and 2 * c_out <= 128):
-                x = elu(P.conv3d_packed_down(x, w_, b_,
-                                             full_spatial=spatial,
-                                             packed_h=(layout == "dh")))
+                with _mf(layer.name):
+                    x = elu(P.conv3d_packed_down(x, w_, b_,
+                                                 full_spatial=spatial,
+                                                 packed_h=(layout == "dh")))
                 layout = "d"
             elif layout == "d":
                 x = elu(P.conv3d_packed_down_unpack(x, w_, b_,
@@ -475,10 +492,11 @@ def _volume_head_packed(spec, params, full_hw, *, first_packed,
             assert not sk_shift, f"skip {skip} must be aligned"
             assert layout in ("none", "d"), \
                 f"{name}: deconv input layout {layout}"
-            y = P.deconv3d_packed(x, p["weights"], p["biases"],
-                                  out_spatial=sk_spatial,
-                                  in_packed_d=(layout == "d"),
-                                  pack_h=(sk_layout == "dh"))
+            with _mf(name):
+                y = P.deconv3d_packed(x, p["weights"], p["biases"],
+                                      out_spatial=sk_spatial,
+                                      in_packed_d=(layout == "d"),
+                                      pack_h=(sk_layout == "dh"))
             x = elu(y + sk)
             layout, conv_shift, spatial = sk_layout, sk_shift, sk_spatial
         else:

@@ -53,6 +53,8 @@ plus full-pipeline parity for all three 3D specs).
 
 from __future__ import annotations
 
+import contextlib
+import contextvars
 from typing import Optional, Tuple
 
 import jax.numpy as jnp
@@ -73,17 +75,46 @@ def _conv(x, k, strides, pads, dil, accum_dtype, precision):
         precision=_precision_for(x, precision))
 
 
-def _mask_slot(y, axis: int, slot: int, ch_pred):
-    """Zero channels satisfying ``ch_pred`` at one index of ``axis``
-    (fused iota select — no scatter).
+_MASK_FORM = contextvars.ContextVar("packed3d_mask_form", default="auto")
 
-    r3 note: a CONSTANT-multiply mask won the isolated A/B at the
-    conv3D_2 shape (7.02 -> 5.50 ms; the where looked unfused) but
-    LOST composed across the 3D zoo (NVSmall 29.4 -> 31.0 ms,
-    ResNet-18 3D 42.6 -> 44.1) — while the same multiply form WON
-    composed in the 2D encoder (packed2d._mask_rows, flagship
-    379 -> 474 fps). Fusion context decides; each module keeps its
-    measured winner."""
+
+@contextlib.contextmanager
+def mask_form(form: str):
+    """Force the pad-slot mask lowering for ops issued in this scope:
+    'where' (iota select), 'mul' (constant 0/1 broadcast multiply), or
+    'auto' (each mask family's measured winner — the default).  Exposed
+    per-SCOPE so sweeps can assign forms per LAYER."""
+    tok = _MASK_FORM.set(form)
+    try:
+        yield
+    finally:
+        _MASK_FORM.reset(tok)
+
+
+def _mask_slot(y, axis: int, slot: int, ch_pred, auto: str = "where"):
+    """Zero channels satisfying ``ch_pred`` at one index of ``axis``
+    (fused iota select — no scatter — or a constant 0/1 multiply).
+
+    ``auto`` names the form this call site measured fastest; the
+    `mask_form` context can force either.  Measured (r3, composed,
+    NVSmall 1025x321 chained-latency): module-wide 'mul' LOSES
+    (28.9 -> 30.4, the deconv emissions) even though 'mul' wins the
+    isolated conv3D_2 A/B (7.02 -> 5.50 ms) — but per-call-site it
+    splits: the SHIFTED-OUT masks of aligned-in stride-1 convs (the
+    2-3-mask family, conv3D_4-class) win with 'mul' (28.89 -> 28.58)
+    while everything else keeps 'where'.  Same story as packed2d's
+    _mask_rows (multiply won the 2D encoder, flagship 379 -> 474 fps):
+    fusion context decides, so each family carries its winner."""
+    form = _MASK_FORM.get()
+    if form == "auto":
+        form = auto
+    if form == "mul":
+        n_ax, c = y.shape[axis], y.shape[-1]
+        m = np.ones((n_ax, c), np.float32)
+        m[slot, np.asarray(ch_pred(np.arange(c)))] = 0.0
+        shape = [1] * y.ndim
+        shape[axis], shape[-1] = n_ax, c
+        return y * jnp.asarray(m.reshape(shape), y.dtype)
     idx = lax.broadcasted_iota(jnp.int32, y.shape, axis)
     cix = lax.broadcasted_iota(jnp.int32, y.shape, y.ndim - 1)
     return jnp.where((idx == slot) & ch_pred(cix), jnp.zeros((), y.dtype), y)
@@ -304,17 +335,19 @@ def conv3d_packed(xp, w, b=None, *, full_spatial, packed_h: bool = True,
     else:
         # shifted out: slot 0 r=0 is Y[-1]; the last slot holds
         # (Y[2Lp-1], Y[2Lp]) — Y[2Lp] always invalid, Y[2Lp-1] too
-        # when the size is odd (it equals Y[size]).
-        out = _mask_slot(out, 1, 0, lambda c: (c // co) % 2 == 0)
+        # when the size is odd (it equals Y[size]).  This mask family
+        # measured fastest as constant multiplies (see _mask_slot).
+        out = _mask_slot(out, 1, 0, lambda c: (c // co) % 2 == 0,
+                         auto="mul")
         out = _mask_slot(out, 1, out.shape[1] - 1,
                          (lambda c: c == c) if D % 2 else
-                         (lambda c: (c // co) % 2 == 1))
+                         (lambda c: (c // co) % 2 == 1), auto="mul")
         if packed_h:
             half = out.shape[-1] // 2
-            out = _mask_slot(out, 2, 0, lambda c: c < half)
+            out = _mask_slot(out, 2, 0, lambda c: c < half, auto="mul")
             out = _mask_slot(out, 2, out.shape[2] - 1,
                              (lambda c: c == c) if H % 2 else
-                             (lambda c: c >= half))
+                             (lambda c: c >= half), auto="mul")
     return out.astype(xp.dtype)
 
 

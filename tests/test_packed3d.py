@@ -364,6 +364,14 @@ def test_packed_head_matches_native_forward(model, monkeypatch):
     got = np.asarray(stereo_forward(spec, params, left, right))
     np.testing.assert_allclose(got, want, atol=5e-4, rtol=1e-4)
 
+    # the constant-multiply mask form (per-layer perf knob) is exact:
+    # flipping EVERY layer to 'mul' must reproduce the where-form head
+    all_layers = ",".join([ly.name for ly in spec.enc3d]
+                          + [n for n, _, _ in spec.dec3d])
+    monkeypatch.setenv("REDTAIL_TPU_MASK_MUL", all_layers)
+    got_mul = np.asarray(stereo_forward(spec, params, left, right))
+    np.testing.assert_array_equal(got_mul, got)
+
 
 @pytest.mark.parametrize("out_spatial,in_d,h_packed",
                          [((96, 7, 9), 48, True), ((96, 8, 10), 48, False),
