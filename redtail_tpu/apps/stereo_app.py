@@ -31,7 +31,8 @@ def build_argparser():
     p.add_argument("model", choices=["nvtiny", "nvsmall", "resnet18",
                                      "resnet18_2d"])
     p.add_argument("--checkpoint", help="TF checkpoint prefix")
-    p.add_argument("--weights", help="TRT-format weight blob")
+    p.add_argument("--weights", help="TRT-format weight blob, or a "
+                   "*_golden.npz bundle (model|scope|layer|var keys)")
     p.add_argument("--weights-dtype", default="fp32",
                    choices=["fp32", "fp16"])
     p.add_argument("--left", required=True)
@@ -159,6 +160,9 @@ def load_params(args, spec):
     if args.checkpoint:
         return load_stereo_params(args.checkpoint, dtype=dtype)
     if args.weights:
+        if args.weights.endswith(".npz"):
+            from redtail_tpu.models import params_from_npz
+            return params_from_npz(args.weights, dtype=dtype)
         from redtail_tpu.io import read_trt_weights
         blob = read_trt_weights(args.weights, dtype=args.weights_dtype)
         return params_from_trt_blob(spec, blob, dtype=dtype)

@@ -6,6 +6,7 @@ from redtail_tpu.models.stereo import (
     StereoSpec,
     init_stereo_params,
     load_stereo_params,
+    params_from_npz,
     params_from_trt_blob,
     stereo_forward,
 )
@@ -16,5 +17,6 @@ __all__ = [
     "stereo_forward",
     "init_stereo_params",
     "load_stereo_params",
+    "params_from_npz",
     "params_from_trt_blob",
 ]

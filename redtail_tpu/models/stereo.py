@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import math
 from dataclasses import dataclass, field
+from pathlib import Path
 from typing import Dict, Optional, Tuple
 
 import jax
@@ -716,6 +717,29 @@ def load_stereo_params(checkpoint_prefix, dtype=None) -> Params:
         node = params
         for p in parts[:-1]:
             node = node.setdefault(p, {})
+        if dtype is not None:
+            arr = arr.astype(dtype)
+        node[parts[-1]] = jnp.asarray(arr)
+    return params
+
+
+def params_from_npz(path_or_npz, dtype=None) -> Params:
+    """Load params from an .npz bundle keyed `model|scope|layer|var`
+    (the golden-bundle format of `tools/make_golden_e2e.py`; a 'disp'
+    entry, if present, is the bundled golden disparity and is skipped)."""
+    npz = (np.load(path_or_npz) if isinstance(path_or_npz, (str, Path))
+           else path_or_npz)
+    params: Params = {}
+    for key in npz.files:
+        if key == "disp":
+            continue
+        parts = key.split("|")
+        if parts[0] == "model":
+            parts = parts[1:]
+        node = params
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        arr = npz[key]
         if dtype is not None:
             arr = arr.astype(dtype)
         node[parts[-1]] = jnp.asarray(arr)

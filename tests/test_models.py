@@ -190,19 +190,9 @@ slow = pytest.mark.skipif(os.environ.get("REDTAIL_RUN_SLOW") != "1",
 def _params_from_npz_weights(npz) -> dict:
     """Rebuild the nested param tree from the weight arrays stored in a
     golden npz (keys 'model|path|to|weights')."""
-    import jax.numpy as jnp
+    from redtail_tpu.models import params_from_npz
 
-    tree: dict = {}
-    for key in npz.files:
-        if key == "disp":
-            continue
-        parts = key.split("|")
-        assert parts[0] == "model"
-        node = tree
-        for p in parts[1:-1]:
-            node = node.setdefault(p, {})
-        node[parts[-1]] = jnp.asarray(npz[key])
-    return tree
+    return params_from_npz(npz)
 
 
 @slow
