@@ -76,6 +76,10 @@ def _run_trailnet(args) -> int:
         print(f"no samples under {args.data}", file=sys.stderr)
         return 1
     dataset = TrailsDataset(train_samples, seed=args.seed)
+    if len(dataset) < args.batch:
+        print(f"{len(dataset)} samples < batch {args.batch} "
+              "(drop_last yields no batches)", file=sys.stderr)
+        return 1
 
     optimizer = optax.sgd(
         optax.warmup_cosine_decay_schedule(

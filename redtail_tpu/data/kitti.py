@@ -112,16 +112,21 @@ class KittiStereoDataset:
     # ---------------------------------------------------------- batching
 
     def _crop(self, arrs, hw: Tuple[int, int], rng: np.random.RandomState,
-              random: bool):
-        """Crop all arrays identically to (h, w); pad-reflect if small."""
+              random: bool, *, valid_last: bool = True):
+        """Crop all arrays identically to (h, w); edge-pad if the frame is
+        smaller — except the final array (the validity mask, when
+        ``valid_last``), which zero-pads so fabricated pixels never
+        supervise the loss."""
         h, w = hw
         ih, iw = arrs[0].shape[:2]
         if ih < h or iw < w:
             ph, pw = max(0, h - ih), max(0, w - iw)
             padded = []
-            for a in arrs:
+            for j, a in enumerate(arrs):
                 pad = ((0, ph), (0, pw)) + ((0, 0),) * (a.ndim - 2)
-                padded.append(np.pad(a, pad, mode="edge"))
+                mode = ("constant" if valid_last and j == len(arrs) - 1
+                        else "edge")
+                padded.append(np.pad(a, pad, mode=mode))
             arrs, (ih, iw) = padded, (max(ih, h), max(iw, w))
         if random:
             y = rng.randint(0, ih - h + 1)
@@ -139,6 +144,10 @@ class KittiStereoDataset:
         Edge-pads frames smaller than the crop (the crop must still be a
         valid model input size for the chosen spec).
         """
+        if drop_last and len(self) < batch_size:
+            raise ValueError(
+                f"dataset has {len(self)} samples < batch_size "
+                f"{batch_size} (drop_last yields no batches)")
         rng = rng or np.random.RandomState(0)
         order = np.arange(len(self))
         if shuffle:
@@ -158,9 +167,11 @@ class KittiStereoDataset:
 
 
 def make_synthetic_kitti(root, *, n: int = 4, hw: Tuple[int, int] = (48, 96),
-                         disp: float = 3.0, seed: int = 0) -> Path:
+                         disp=3.0, seed: int = 0) -> Path:
     """Write a tiny generic-layout dataset where right = left shifted by a
-    constant disparity — a learnable toy task for tests and smoke runs."""
+    per-image constant disparity — a learnable toy task for tests and
+    smoke runs. ``disp``: one value, or an (lo, hi) range sampled
+    per image (forcing the net to correlate rather than learn a bias)."""
     import cv2
 
     root = Path(root)
@@ -168,8 +179,9 @@ def make_synthetic_kitti(root, *, n: int = 4, hw: Tuple[int, int] = (48, 96),
     for sub in ("left", "right", "disp"):
         (root / sub).mkdir(parents=True, exist_ok=True)
     h, w = hw
-    d = int(round(disp))
+    lo, hi = (disp, disp) if np.isscalar(disp) else disp
     for i in range(n):
+        d = int(rng.randint(round(lo), round(hi) + 1))
         # Smooth random texture so the shift is recoverable by correlation.
         base = rng.rand(h // 4, (w + d) // 4 + 1, 3).astype(np.float32)
         tex = cv2.resize(base, (w + d, h), interpolation=cv2.INTER_CUBIC)

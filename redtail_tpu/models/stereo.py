@@ -724,22 +724,36 @@ def load_stereo_params(checkpoint_prefix, dtype=None) -> Params:
 
 
 def params_from_npz(path_or_npz, dtype=None) -> Params:
-    """Load params from an .npz bundle keyed `model|scope|layer|var`
-    (the golden-bundle format of `tools/make_golden_e2e.py`; a 'disp'
-    entry, if present, is the bundled golden disparity and is skipped)."""
+    """Load params from an .npz bundle.
+
+    Accepts both key conventions: `model|scope|layer|var` (the
+    golden-bundle format of `tools/make_golden_e2e.py`; a 'disp' entry,
+    if present, is the bundled golden disparity and is skipped) and the
+    `scope/layer/var` convention of `utils/checkpoint.save_params` —
+    so checkpoints written by the native trainer (`apps/train_app.py`)
+    serve directly via `stereo_app --weights`. bf16 leaves stored as
+    `@bf16` uint16 views are decoded."""
+    from redtail_tpu.utils.checkpoint import _decode_npz
+
     npz = (np.load(path_or_npz) if isinstance(path_or_npz, (str, Path))
            else path_or_npz)
+    flat = _decode_npz({k: npz[k] for k in npz.files})
+    if any(k.startswith("params/") for k in flat):
+        # full train-state checkpoint (training/stereo.save_train_state):
+        # serve the params subtree, ignore optimizer moments + step
+        flat = {k[len("params/"):]: v for k, v in flat.items()
+                if k.startswith("params/")}
+    sep = "|" if any("|" in k for k in flat) else "/"
     params: Params = {}
-    for key in npz.files:
+    for key, arr in flat.items():
         if key == "disp":
             continue
-        parts = key.split("|")
+        parts = key.split(sep)
         if parts[0] == "model":
             parts = parts[1:]
         node = params
         for p in parts[:-1]:
             node = node.setdefault(p, {})
-        arr = npz[key]
         if dtype is not None:
             arr = arr.astype(dtype)
         node[parts[-1]] = jnp.asarray(arr)

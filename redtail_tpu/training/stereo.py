@@ -15,6 +15,7 @@ CLI in `apps/train_app.py`; dataset side in `data/kitti.py`.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import json
 import time
 from pathlib import Path
@@ -78,7 +79,7 @@ def save_train_state(state: TrainState, path) -> Path:
     portable .npz (the framework's dependency-free checkpoint format,
     `utils/checkpoint.py`). Optimizer leaves are stored positionally, so
     loading requires the same optimizer configuration."""
-    from redtail_tpu.utils.checkpoint import _flatten
+    from redtail_tpu.utils.checkpoint import _encode_npz, _flatten
 
     state = jax.device_get(state)
     flat = {f"params/{k}": v for k, v in _flatten(state.params).items()}
@@ -87,7 +88,7 @@ def save_train_state(state: TrainState, path) -> Path:
     flat["step"] = np.asarray(state.step)
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
-    np.savez(path, **flat)
+    np.savez(path, **_encode_npz(flat))
     return path
 
 
@@ -95,10 +96,10 @@ def load_train_state(path, template: TrainState) -> TrainState:
     """Restore a state saved by `save_train_state`. `template` (a freshly
     initialized TrainState for the same spec + optimizer) supplies the
     optimizer tree structure."""
-    from redtail_tpu.utils.checkpoint import _unflatten
+    from redtail_tpu.utils.checkpoint import _decode_npz, _unflatten
 
     with np.load(Path(path)) as data:
-        flat = {k: data[k] for k in data.files}
+        flat = _decode_npz({k: data[k] for k in data.files})
     params = _unflatten({k[len("params/"):]: v for k, v in flat.items()
                          if k.startswith("params/")})
     opt_leaves = [flat[k] for k in sorted(flat) if k.startswith("opt/")]
@@ -115,6 +116,13 @@ def load_train_state(path, template: TrainState) -> TrainState:
 # ------------------------------------------------------------------ eval
 
 
+@functools.lru_cache(maxsize=8)
+def _eval_forward(eval_spec):
+    # Cached per (frozen, hashable) spec so periodic in-training evals
+    # reuse one traced program instead of re-tracing each call.
+    return jax.jit(lambda p, l, r: stereo_forward(eval_spec, p, l, r))
+
+
 def evaluate_stereo(spec, params, dataset, *, max_images: int = 0,
                     batch_hw: Optional[Tuple[int, int]] = None) -> dict:
     """D1/EPE over a dataset's center crops at the spec's input size.
@@ -125,7 +133,7 @@ def evaluate_stereo(spec, params, dataset, *, max_images: int = 0,
     """
     hw = batch_hw or spec.input_hw
     eval_spec = dataclasses.replace(spec, input_hw=tuple(hw))
-    fwd = jax.jit(lambda p, l, r: stereo_forward(eval_spec, p, l, r))
+    fwd = _eval_forward(eval_spec)
     n = len(dataset) if max_images == 0 else min(max_images, len(dataset))
     rng = np.random.RandomState(0)
     d1s, epes, n_px = [], [], 0

@@ -37,12 +37,35 @@ def _unflatten(flat: Dict[str, np.ndarray]):
     return tree
 
 
+def _encode_npz(flat: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """npz stores ml_dtypes.bfloat16 as an opaque void dtype (|V2) that
+    silently breaks on load — store such leaves as uint16 bit patterns
+    under a `@bf16`-suffixed key instead (lossless)."""
+    import ml_dtypes
+
+    out = {}
+    for k, v in flat.items():
+        if v.dtype == ml_dtypes.bfloat16:
+            out[k + "@bf16"] = v.view(np.uint16)
+        else:
+            out[k] = v
+    return out
+
+
+def _decode_npz(flat: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    import ml_dtypes
+
+    return {(k[:-5] if k.endswith("@bf16") else k):
+            (v.view(ml_dtypes.bfloat16) if k.endswith("@bf16") else v)
+            for k, v in flat.items()}
+
+
 def save_params(params, path) -> Path:
     """Save a (possibly nested) param dict. `.npz` path -> portable
     numpy archive; directory path -> orbax checkpoint."""
     path = Path(path)
     if path.suffix == ".npz":
-        flat = _flatten(jax.device_get(params))
+        flat = _encode_npz(_flatten(jax.device_get(params)))
         path.parent.mkdir(parents=True, exist_ok=True)
         np.savez(path, **flat)
         return path
@@ -59,7 +82,7 @@ def load_params(path):
     path = Path(path)
     if path.suffix == ".npz":
         with np.load(path) as data:
-            return _unflatten({k: data[k] for k in data.files})
+            return _unflatten(_decode_npz({k: data[k] for k in data.files}))
     import orbax.checkpoint as ocp
 
     ckptr = ocp.StandardCheckpointer()

@@ -194,3 +194,45 @@ def test_train_app_cli_trailnet(tmp_path, capsys):
     blobs = parse_caffemodel(
         caffe_prefix.with_suffix(".caffemodel").read_bytes())
     assert "conv1" in blobs and len(net.get_all("layer")) > 10
+
+
+def test_batches_smaller_than_batch_size_raises(kitti_dir):
+    ds = KittiStereoDataset(kitti_dir)  # 3 samples
+    with pytest.raises(ValueError, match="batch_size"):
+        next(ds.batches(8, CROP))
+
+
+def test_crop_pads_valid_with_zeros(kitti_dir):
+    """Frames smaller than the crop edge-pad images but ZERO-pad the
+    validity mask — fabricated pixels must not supervise the loss."""
+    ds = KittiStereoDataset(kitti_dir)  # frames are 40x72
+    left, right, disp, valid = ds.sample(0)
+    (lc, rc, dc, vc) = ds._crop([left, right, disp, valid], (48, 80),
+                                np.random.RandomState(0), random=False)
+    assert lc.shape == (48, 80, 3) and vc.shape == (48, 80)
+    assert vc[40:, :].sum() == 0 and vc[:, 72:].sum() == 0
+    assert vc[:40, 3:72].all()
+
+
+def test_trained_npz_serves_via_stereo_app_loader(kitti_dir, tmp_path):
+    """Both trainer outputs — the final params .npz and the full
+    train-state checkpoint — load through `params_from_npz`, i.e.
+    `stereo_app --weights <trained>` serves what train_app produced."""
+    from redtail_tpu.models import STEREO_SPECS, stereo_forward
+    from redtail_tpu.models.stereo import params_from_npz
+    from redtail_tpu.utils.checkpoint import save_params
+
+    ds = KittiStereoDataset(kitti_dir)
+    cfg = tiny_cfg(steps=1, ckpt_dir=str(tmp_path))
+    state = train_stereo(cfg, ds, log_fn=lambda r: None)
+    save_params(state.params, tmp_path / "final.npz")
+
+    spec = dataclasses.replace(STEREO_SPECS["nvtiny"], input_hw=CROP,
+                               max_disp=4)
+    l, r, _, _ = next(ds.batches(1, CROP, shuffle=False, drop_last=False))
+    want = np.asarray(stereo_forward(spec, state.params, l, r))
+
+    for path in (tmp_path / "final.npz", tmp_path / "nvtiny_train.npz"):
+        params = params_from_npz(path)
+        got = np.asarray(stereo_forward(spec, params, l, r))
+        np.testing.assert_allclose(got, want, atol=1e-6)

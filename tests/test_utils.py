@@ -42,6 +42,20 @@ def test_params_npz_roundtrip(tmp_path, rng):
     np.testing.assert_array_equal(back["head"]["w"], params["head"]["w"])
 
 
+def test_params_npz_bf16_roundtrip(tmp_path, rng):
+    """bfloat16 leaves survive the npz round-trip with their dtype (npz
+    would otherwise store ml_dtypes.bfloat16 as an opaque |V2 void)."""
+    import jax.numpy as jnp
+
+    params = {"w": jnp.asarray(rng.randn(4, 3), jnp.bfloat16),
+              "b": np.zeros(3, np.float32)}
+    back = load_params(save_params(params, tmp_path / "p.npz"))
+    assert back["w"].dtype == jnp.bfloat16
+    np.testing.assert_array_equal(np.asarray(params["w"], np.float32),
+                                  np.asarray(back["w"], np.float32))
+    assert back["b"].dtype == np.float32
+
+
 def test_params_orbax_roundtrip(tmp_path, rng):
     pytest.importorskip("orbax.checkpoint")
     params = {"a": {"w": rng.randn(4, 4).astype(np.float32)}}
