@@ -159,7 +159,9 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--resume", action="store_true")
     s.add_argument("--data-parallel", type=int, default=1,
                    help="devices on the mesh data axis")
-    s.add_argument("--dtype", default="float32")
+    s.add_argument("--dtype", default="float32",
+                   help="training computes in float32; bf16/w8/int8 are "
+                        "serving rungs cast from the trained checkpoint")
     s.add_argument("--out", default=None, help="final params .npz")
     s.set_defaults(fn=_run_stereo)
 

@@ -56,8 +56,17 @@ def _load_disparity(path: Path) -> np.ndarray:
     return np.where(raw > 0, disp, np.nan)
 
 
-def _index_dir(d: Path, exts=(".png", ".jpg", ".npy")) -> dict:
-    return {p.stem: p for p in sorted(d.iterdir()) if p.suffix in exts}
+def _index_dir(d: Path, exts=(".npy", ".png", ".jpg")) -> dict:
+    """stem -> path; on duplicate stems the earlier extension in ``exts``
+    wins (.npy float GT over a same-named visualization .png)."""
+    out: dict = {}
+    for p in sorted(d.iterdir()):
+        if p.suffix not in exts:
+            continue
+        prev = out.get(p.stem)
+        if prev is None or exts.index(p.suffix) < exts.index(prev.suffix):
+            out[p.stem] = p
+    return out
 
 
 class KittiStereoDataset:
@@ -138,16 +147,21 @@ class KittiStereoDataset:
     def batches(self, batch_size: int, crop_hw: Tuple[int, int], *,
                 rng: Optional[np.random.RandomState] = None,
                 shuffle: bool = True, drop_last: bool = True,
+                random_crop: Optional[bool] = None,
                 ) -> Iterator[Tuple[np.ndarray, ...]]:
         """Yield (left, right, disp, valid) batches of random crops.
 
         Edge-pads frames smaller than the crop (the crop must still be a
-        valid model input size for the chosen spec).
+        valid model input size for the chosen spec). ``random_crop``
+        controls crop sampling independently of batch-order ``shuffle``
+        (default: follow ``shuffle``).
         """
         if drop_last and len(self) < batch_size:
             raise ValueError(
                 f"dataset has {len(self)} samples < batch_size "
                 f"{batch_size} (drop_last yields no batches)")
+        if random_crop is None:
+            random_crop = shuffle
         rng = rng or np.random.RandomState(0)
         order = np.arange(len(self))
         if shuffle:
@@ -160,7 +174,8 @@ class KittiStereoDataset:
             for j in idx:
                 left, right, disp, valid = self.sample(int(j))
                 left, right, disp, valid = self._crop(
-                    [left, right, disp, valid], crop_hw, rng, random=shuffle)
+                    [left, right, disp, valid], crop_hw, rng,
+                    random=random_crop)
                 ls.append(left); rs.append(right)
                 ds.append(disp); vs.append(valid)
             yield (np.stack(ls), np.stack(rs), np.stack(ds), np.stack(vs))

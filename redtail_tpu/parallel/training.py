@@ -58,7 +58,15 @@ def make_train_step(spec, optimizer: Optional[optax.GradientTransformation]
         optimizer = optax.adam(1e-4)
 
     def forward(params, left, right):
-        return stereo_forward(spec, params, left, right)
+        pred = stereo_forward(spec, params, left, right)
+        if spec.corr:
+            # The correlation model's head is a sigmoid normalized to
+            # [0,1] of the input width (`resnet18_2D_513x257_net.cpp`
+            # head; px = out * w, `main.cpp:325-327`) — scale to px so
+            # the loss target and EPE are in pixel units like the
+            # 3D-volume models.
+            pred = pred * spec.input_hw[1]
+        return pred
 
     if remat:
         forward = jax.checkpoint(

@@ -80,7 +80,10 @@ def main(argv=None):
                                max_disp=args.max_disp)
     jdt = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
     def cast(a):
-        return jnp.asarray(a, jdt) if np.issubdtype(a.dtype, np.floating) \
+        # jnp.issubdtype, not np.: ml_dtypes.bfloat16 (e.g. from a @bf16
+        # checkpoint) is not an np.floating subtype and would silently
+        # skip the requested cast.
+        return jnp.asarray(a, jdt) if jnp.issubdtype(a.dtype, jnp.floating) \
             else jnp.asarray(a)
     params = jax.tree.map(cast, load_params(args.params))
     example = jnp.zeros(tuple(args.input_shape), jdt)

@@ -50,7 +50,14 @@ class StereoTrainConfig:
     ckpt_dir: Optional[str] = None
     resume: bool = False
     data_parallel: int = 1                  # devices on the mesh 'data' axis
-    dtype: str = "float32"                  # param/compute dtype for training
+    # Training computes in float32 (master weights). bf16/w8/int8 are
+    # SERVING rungs produced by casting/quantizing the trained fp32
+    # checkpoint (stereo_app --quantize, engine builder --dtype): JAX
+    # cannot differentiate the framework's f32-accumulating bf16 convs
+    # (conv transpose rule rejects bf16 operands + f32
+    # preferred_element_type), so a bf16 train step is unbuildable at
+    # the op level, not a config choice.
+    dtype: str = "float32"
 
 
 def _make_spec(cfg: StereoTrainConfig):
@@ -120,7 +127,11 @@ def load_train_state(path, template: TrainState) -> TrainState:
 def _eval_forward(eval_spec):
     # Cached per (frozen, hashable) spec so periodic in-training evals
     # reuse one traced program instead of re-tracing each call.
-    return jax.jit(lambda p, l, r: stereo_forward(eval_spec, p, l, r))
+    # Corr models emit sigmoid in [0,1]; scale by input width to px
+    # (the reference's `main.cpp:325-327`), matching the train loss.
+    scale = eval_spec.input_hw[1] if eval_spec.corr else 1.0
+    return jax.jit(
+        lambda p, l, r: stereo_forward(eval_spec, p, l, r) * scale)
 
 
 def evaluate_stereo(spec, params, dataset, *, max_images: int = 0,
@@ -134,6 +145,7 @@ def evaluate_stereo(spec, params, dataset, *, max_images: int = 0,
     hw = batch_hw or spec.input_hw
     eval_spec = dataclasses.replace(spec, input_hw=tuple(hw))
     fwd = _eval_forward(eval_spec)
+    in_dt = jax.tree_util.tree_leaves(params)[0].dtype  # match params
     n = len(dataset) if max_images == 0 else min(max_images, len(dataset))
     rng = np.random.RandomState(0)
     d1s, epes, n_px = [], [], 0
@@ -141,7 +153,10 @@ def evaluate_stereo(spec, params, dataset, *, max_images: int = 0,
         left, right, disp, valid = dataset.sample(i)
         left, right, disp, valid = dataset._crop(
             [left, right, disp, valid], hw, rng, random=False)
-        pred = np.asarray(fwd(params, left[None], right[None]))[0]
+        if not (valid > 0).any():
+            continue  # no GT in this crop (sparse KITTI / GT-less pair)
+        pred = np.asarray(fwd(params, left[None].astype(in_dt),
+                              right[None].astype(in_dt)), np.float32)[0]
         err = disparity_errors(pred, disp, valid=valid > 0)
         d1s.append(err["d1"] * err["n_valid"])
         epes.append(err["epe"] * err["n_valid"])
@@ -162,6 +177,12 @@ def train_stereo(cfg: StereoTrainConfig, dataset,
     `dataset` / `eval_dataset`: `data/kitti.py` KittiStereoDataset (or any
     object with the same `batches`/`sample`/`_crop` surface).
     """
+    if jnp.zeros((), cfg.dtype).dtype != jnp.float32:
+        raise ValueError(
+            f"training dtype must be float32 (got {cfg.dtype}): the "
+            "f32-accumulating bf16 convs are not differentiable in JAX "
+            "(conv transpose rejects mixed bf16/f32); produce bf16/w8/"
+            "int8 SERVING rungs from the trained fp32 checkpoint instead")
     spec = _make_spec(cfg)
     optimizer = _make_optimizer(cfg)
 
@@ -189,15 +210,18 @@ def train_stereo(cfg: StereoTrainConfig, dataset,
 
     log = log_fn or (lambda rec: print(json.dumps(rec), flush=True))
     rng = np.random.RandomState(cfg.seed + 1)
+    in_dt = jnp.zeros((), cfg.dtype).dtype  # images in the compute dtype
     start_step = int(jax.device_get(state.step))
     step_i = start_step
+    last_ckpt = last_eval = -1
     t0 = time.perf_counter()
     while step_i < cfg.steps:
         for batch in dataset.batches(cfg.batch_size, cfg.crop_hw, rng=rng):
             if step_i >= cfg.steps:
                 break
             left, right, disp, valid = batch
-            state, metrics = step_fn(state, left, right, disp, valid)
+            state, metrics = step_fn(state, left.astype(in_dt),
+                                     right.astype(in_dt), disp, valid)
             step_i += 1
             if step_i % 10 == 0 or step_i == cfg.steps:
                 m = jax.device_get(metrics)
@@ -206,16 +230,18 @@ def train_stereo(cfg: StereoTrainConfig, dataset,
                      "sec": round(time.perf_counter() - t0, 2)})
             if ckpt_path and cfg.ckpt_every and step_i % cfg.ckpt_every == 0:
                 save_train_state(state, ckpt_path)
+                last_ckpt = step_i
             if (eval_dataset is not None and cfg.eval_every
                     and step_i % cfg.eval_every == 0):
                 ev = evaluate_stereo(spec, state.params, eval_dataset)
                 log({"step": step_i, "eval_d1": round(ev["d1"], 4),
                      "eval_epe": round(ev["epe"], 4)})
+                last_eval = step_i
 
-    if ckpt_path:
+    if ckpt_path and last_ckpt != step_i:
         save_train_state(state, ckpt_path)
         log({"step": step_i, "checkpoint": str(ckpt_path)})
-    if eval_dataset is not None:
+    if eval_dataset is not None and last_eval != step_i:
         ev = evaluate_stereo(spec, state.params, eval_dataset)
         log({"step": step_i, "eval_d1": round(ev["d1"], 4),
              "eval_epe": round(ev["epe"], 4)})

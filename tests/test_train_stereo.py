@@ -236,3 +236,97 @@ def test_trained_npz_serves_via_stereo_app_loader(kitti_dir, tmp_path):
         params = params_from_npz(path)
         got = np.asarray(stereo_forward(spec, params, l, r))
         np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_corr_model_trains_in_pixel_units():
+    """resnet18_2d's sigmoid head is scaled to px inside the train step
+    (pred * width) — the loss sees pixel units, not [0,1] (review fix)."""
+    import optax
+
+    from redtail_tpu.models import STEREO_SPECS, init_stereo_params
+    from redtail_tpu.parallel.training import make_train_step
+
+    spec = dataclasses.replace(STEREO_SPECS["resnet18_2d"], input_hw=CROP,
+                               max_disp=4)
+    init_fn, step = make_train_step(spec, optax.adam(1e-3))
+    state = init_fn(init_stereo_params(spec))
+    rs = np.random.RandomState(0)
+    l = rs.rand(1, *CROP, 3).astype(np.float32)
+    r = rs.rand(1, *CROP, 3).astype(np.float32)
+    target = np.full((1,) + CROP, 5.0, np.float32)
+    valid = np.ones_like(target)
+    state, metrics = step(state, l, r, target, valid)
+    epe = float(jax.device_get(metrics["epe"]))
+    # sigmoid(random init) ~ 0.5 -> pred ~ width/2 = 32 px -> EPE ~ 27.
+    # The broken ([0,1] vs px) version would read ~4.5.
+    assert np.isfinite(epe) and epe > 10.0
+
+
+def test_bf16_training_rejected_eval_works(kitti_dir, tmp_path):
+    """Training in bf16 is impossible at the op level (JAX's conv
+    transpose rejects bf16 operands with f32 accumulation) — the config
+    fails fast with the serving-rung guidance. Forward-only bf16 EVAL of
+    bf16-cast params works (that's the serving rung)."""
+    import jax.numpy as jnp
+
+    ds = KittiStereoDataset(kitti_dir)
+    with pytest.raises(ValueError, match="SERVING"):
+        train_stereo(tiny_cfg(steps=1, dtype="bfloat16"), ds,
+                     log_fn=lambda r: None)
+
+    from redtail_tpu.models import STEREO_SPECS, init_stereo_params
+
+    spec = dataclasses.replace(STEREO_SPECS["nvtiny"], input_hw=CROP,
+                               max_disp=4)
+    params = init_stereo_params(spec, dtype=jnp.bfloat16)
+    ev = evaluate_stereo(spec, params, ds, max_images=1)
+    assert np.isfinite(ev["epe"])
+
+
+def test_random_crop_decoupled_from_shuffle(kitti_dir):
+    ds = KittiStereoDataset(kitti_dir)
+    rng = np.random.RandomState(3)
+    a = next(ds.batches(2, (24, 48), rng=rng, shuffle=False,
+                        random_crop=True))
+    b = next(ds.batches(2, (24, 48), rng=rng, shuffle=False,
+                        random_crop=True))
+    assert not np.array_equal(a[0], b[0])  # same order, different crops
+    c = next(ds.batches(2, (24, 48), shuffle=False))
+    d = next(ds.batches(2, (24, 48), shuffle=False))
+    np.testing.assert_array_equal(c[0], d[0])  # default: deterministic
+
+
+def test_disp_npy_preferred_over_png(tmp_path):
+    """A visualization .png next to the float .npy GT must not shadow it."""
+    cv2 = pytest.importorskip("cv2")
+    rng = np.random.RandomState(0)
+    for sub in ("left", "right", "disp"):
+        (tmp_path / sub).mkdir()
+    img = rng.randint(0, 255, (8, 12, 3)).astype(np.uint8)
+    cv2.imwrite(str(tmp_path / "left" / "000.png"), img)
+    cv2.imwrite(str(tmp_path / "right" / "000.png"), img)
+    np.save(tmp_path / "disp" / "000.npy",
+            np.full((8, 12), 7.0, np.float32))
+    cv2.imwrite(str(tmp_path / "disp" / "000.png"),
+                np.full((8, 12), 200, np.uint8))  # decoy visualization
+    ds = KittiStereoDataset(tmp_path)
+    _, _, disp, valid = ds.sample(0)
+    assert valid.all() and np.allclose(disp, 7.0)
+
+
+def test_evaluate_skips_gt_less_images(kitti_dir, tmp_path):
+    """Images with no valid GT don't crash the periodic eval (review fix)."""
+    import shutil
+
+    from redtail_tpu.models import STEREO_SPECS, init_stereo_params
+
+    root = tmp_path / "mixed"
+    shutil.copytree(kitti_dir, root)
+    # drop GT for sample 0 -> all-invalid mask under require_gt=False
+    (root / "disp" / "000.npy").unlink()
+    ds = KittiStereoDataset(root, require_gt=False)
+    assert len(ds) == 3
+    spec = dataclasses.replace(STEREO_SPECS["nvtiny"], input_hw=CROP,
+                               max_disp=4)
+    ev = evaluate_stereo(spec, init_stereo_params(spec), ds)
+    assert np.isfinite(ev["epe"])  # computed over the 2 GT-bearing images
