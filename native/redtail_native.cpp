@@ -88,6 +88,90 @@ void rn_hwc_to_chw(const float* src, int h, int w, int c, float* dst) {
     }
 }
 
+void rn_pack_s2d(const uint8_t* src, int h, int w, int c, uint8_t* dst,
+                 int swap_rb) {
+    const int hp = (h + 1) / 2;
+    const int wp = (w + 1) / 2;
+    const int wfull = w / 2;          // output cols with a full 2x2 block
+    const int oc = 4 * c;
+    // Channel permutation (identity, or R<->B for 3-channel frames).
+    int cmap[16];
+    const int cn = c <= 16 ? c : 16;
+    for (int ch = 0; ch < cn; ++ch)
+        cmap[ch] = (swap_rb && c == 3) ? 2 - ch : ch;
+    if (c > 16) return;  // camera frames are 1/3/4-channel
+    if (c == 3) {  // the camera-frame case: fixed offsets vectorize
+        const int s0 = swap_rb ? 2 : 0, s2 = swap_rb ? 0 : 2;
+        for (int y = 0; y < hp; ++y) {
+            const uint8_t* r0 = src + (2 * y) * (size_t)w * 3;
+            const uint8_t* r1 =
+                (2 * y + 1 < h) ? r0 + (size_t)w * 3 : nullptr;
+            uint8_t* drow = dst + (size_t)y * wp * 12;
+            for (int x = 0; x < wfull; ++x) {
+                const uint8_t* p0 = r0 + (size_t)(6 * x);
+                uint8_t* d = drow + (size_t)(12 * x);
+                d[0] = p0[s0]; d[1] = p0[1]; d[2] = p0[s2];
+                d[3] = p0[3 + s0]; d[4] = p0[4]; d[5] = p0[3 + s2];
+                if (r1) {
+                    const uint8_t* p1 = r1 + (size_t)(6 * x);
+                    d[6] = p1[s0]; d[7] = p1[1]; d[8] = p1[s2];
+                    d[9] = p1[3 + s0]; d[10] = p1[4]; d[11] = p1[3 + s2];
+                } else {
+                    std::memset(d + 6, 0, 6);
+                }
+            }
+            if (wfull < wp) {
+                const int x = wp - 1;
+                const uint8_t* p0 = r0 + (size_t)(6 * x);
+                uint8_t* d = drow + (size_t)(12 * x);
+                d[0] = p0[s0]; d[1] = p0[1]; d[2] = p0[s2];
+                std::memset(d + 3, 0, 3);
+                if (r1) {
+                    const uint8_t* p1 = r1 + (size_t)(6 * x);
+                    d[6] = p1[s0]; d[7] = p1[1]; d[8] = p1[s2];
+                } else {
+                    std::memset(d + 6, 0, 3);
+                }
+                std::memset(d + 9, 0, 3);
+            }
+        }
+        return;
+    }
+    for (int y = 0; y < hp; ++y) {
+        const uint8_t* r0 = src + (2 * y) * (size_t)w * c;
+        const uint8_t* r1 = (2 * y + 1 < h) ? r0 + (size_t)w * c : nullptr;
+        uint8_t* drow = dst + (size_t)y * wp * oc;
+        for (int x = 0; x < wfull; ++x) {
+            const uint8_t* p0 = r0 + (size_t)(2 * x) * c;
+            uint8_t* d = drow + (size_t)x * oc;
+            for (int ch = 0; ch < c; ++ch) d[ch] = p0[cmap[ch]];
+            for (int ch = 0; ch < c; ++ch) d[c + ch] = p0[c + cmap[ch]];
+            if (r1) {
+                const uint8_t* p1 = r1 + (size_t)(2 * x) * c;
+                for (int ch = 0; ch < c; ++ch) d[2 * c + ch] = p1[cmap[ch]];
+                for (int ch = 0; ch < c; ++ch)
+                    d[3 * c + ch] = p1[c + cmap[ch]];
+            } else {
+                std::memset(d + 2 * c, 0, 2 * c);
+            }
+        }
+        if (wfull < wp) {  // odd width: last column pads px=1 with zeros
+            const int x = wp - 1;
+            const uint8_t* p0 = r0 + (size_t)(2 * x) * c;
+            uint8_t* d = drow + (size_t)x * oc;
+            for (int ch = 0; ch < c; ++ch) d[ch] = p0[cmap[ch]];
+            std::memset(d + c, 0, c);
+            if (r1) {
+                const uint8_t* p1 = r1 + (size_t)(2 * x) * c;
+                for (int ch = 0; ch < c; ++ch) d[2 * c + ch] = p1[cmap[ch]];
+            } else {
+                std::memset(d + 2 * c, 0, c);
+            }
+            std::memset(d + 3 * c, 0, c);
+        }
+    }
+}
+
 // ----------------------------------------------- latest-wins mailbox
 
 struct rn_mailbox {

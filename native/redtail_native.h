@@ -33,6 +33,15 @@ void rn_preprocess_area(const uint8_t* src, int src_h, int src_w,
 // HWC f32 -> CHW f32 (the reference's final transpose step).
 void rn_hwc_to_chw(const float* src, int h, int w, int c, float* dst);
 
+// Fused serving-ingest pack: u8 HWC frame -> u8 space-to-depth(2) packed
+// frame (ceil(h/2), ceil(w/2), 4c) with optional BGR<->RGB swap, zero
+// padding odd edges. Phase-major channel layout matching
+// ops/space_to_depth.py:space_to_depth2_np: output channel group
+// (py*2+px)*c..+c holds src[2y+py, 2x+px, :]. One pass, no float
+// conversion — the H2D payload stays uint8.
+void rn_pack_s2d(const uint8_t* src, int h, int w, int c, uint8_t* dst,
+                 int swap_rb);
+
 // ------------------------------------------------- latest-wins mailbox
 
 // Single-producer single-consumer triple-buffered mailbox holding frames

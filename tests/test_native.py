@@ -43,6 +43,31 @@ def test_hwc_to_chw(lib, rng):
                                   img.transpose(2, 0, 1))
 
 
+@pytest.mark.parametrize("shape", [(321, 1025, 3), (322, 1024, 3),
+                                   (7, 9, 3), (8, 10, 1), (1, 5, 4),
+                                   (2, 33, 41, 3)])
+@pytest.mark.parametrize("swap", [True, False])
+def test_pack_s2d_matches_numpy(lib, rng, shape, swap):
+    """The fused serving-ingest pack (BGR->RGB + space-to-depth(2)) is
+    bit-identical to `space_to_depth2_np` on flipped channels — odd/even
+    H and W (zero-padded edges), batch dims, non-3-channel frames."""
+    from redtail_tpu.ops.space_to_depth import space_to_depth2_np
+    x = rng.randint(0, 256, shape).astype(np.uint8)
+    got = lib.pack_s2d(x, swap_rb=swap)
+    ref = space_to_depth2_np(x[..., ::-1] if swap else x)
+    assert got.shape == ref.shape
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_pack_s2d_fallback_without_lib(rng, monkeypatch):
+    """pack_s2d degrades to the numpy path when the library isn't built."""
+    monkeypatch.setattr(native, "load", lambda *a, **k: None)
+    from redtail_tpu.ops.space_to_depth import space_to_depth2_np
+    x = rng.randint(0, 256, (9, 11, 3)).astype(np.uint8)
+    np.testing.assert_array_equal(native.pack_s2d(x, swap_rb=True),
+                                  space_to_depth2_np(x[..., ::-1]))
+
+
 def test_mailbox_latest_wins(lib, rng):
     mb = lib.NativeMailbox((4, 4), dtype=np.float32)
     frame, seq = mb.take(0)
