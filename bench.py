@@ -113,6 +113,22 @@ def bench_zoo():
     for metric, baseline_ms, (fn, inputs, n_lo, n_hi) in cases:
         sec = chained_latency(fn, inputs, n_lo, n_hi)
         emit(metric, sec * 1e3, "ms/frame", baseline_ms / (sec * 1e3))
+        del fn, inputs
+        _release_device_memory()
+
+
+def _release_device_memory():
+    """Drop each case's live buffers + cached executables before the next
+    measurement: the big 3D models' params/volumes left resident in HBM
+    degrade a LATER model's measured latency by ~45% (flagship 2.11 ->
+    3.08 ms when measured after the zoo in one process; measured, and
+    fully recovered by this cleanup). Recompiles hit the persistent
+    cache, so the cost is a re-trace."""
+    import gc
+
+    gc.collect()
+    jax.clear_caches()
+    gc.collect()
 
 
 def main():
@@ -121,6 +137,7 @@ def main():
     enable_compilation_cache()  # TRT-plan-file equivalent; amortizes compile
 
     bench_zoo()
+    _release_device_memory()
 
     fn, inputs, n_lo, n_hi = stereo_case("resnet18_2d", (321, 1025), 10, 160)
     per_frame = chained_latency(fn, inputs, n_lo, n_hi)
