@@ -136,7 +136,10 @@ def pack_s2d(x_u8: np.ndarray, *, swap_rb: bool = True) -> np.ndarray:
     `ops.space_to_depth.space_to_depth2_np` — bit-identical either way."""
     x_u8 = np.asarray(x_u8)
     lib = load()
-    if lib is None or x_u8.dtype != np.uint8:
+    # The native kernel supports c<=16 (camera frames are 1/3/4-channel)
+    # and returns WITHOUT writing dst beyond that — route wide-channel
+    # inputs to numpy rather than returning uninitialized memory.
+    if lib is None or x_u8.dtype != np.uint8 or x_u8.shape[-1] > 16:
         from redtail_tpu.ops.space_to_depth import space_to_depth2_np
         return space_to_depth2_np(x_u8[..., ::-1] if swap_rb else x_u8)
     lead = x_u8.shape[:-3]
