@@ -4,7 +4,9 @@ Prints ONE JSON line PER MODEL ({"metric", "value", "unit",
 "vs_baseline"}), with the flagship (ResNet18-2D @1025x321, fps) as the
 FINAL line — the driver parses the tail line; the preceding lines make
 the whole zoo driver-verifiable (VERDICT r2: the reference published its
-zoo as one table, `stereoDNN/README.md:24-37`).
+zoo as one table, `stereoDNN/README.md:24-37`). The flagship is
+MEASURED first (pristine HBM; zoo residue measured +45% on it) and its
+line printed both first and re-emitted as the tail.
 
 Methodology: each model runs inside an on-device `lax.scan` whose carry
 forces a data dependency between iterations (async dispatch through the
@@ -136,12 +138,21 @@ def main():
 
     enable_compilation_cache()  # TRT-plan-file equivalent; amortizes compile
 
-    bench_zoo()
-    _release_device_memory()
-
+    # Flagship FIRST (pristine HBM — zoo residue measured +45% on it,
+    # see _release_device_memory) and also re-emitted as the FINAL line:
+    # the driver parses the tail line, and measuring the headline before
+    # the long zoo pass keeps it intact even if an outer timeout cuts
+    # the run mid-zoo.
     fn, inputs, n_lo, n_hi = stereo_case("resnet18_2d", (321, 1025), 10, 160)
     per_frame = chained_latency(fn, inputs, n_lo, n_hi)
     fps = 1.0 / per_frame
+    emit("resnet18_2d_stereo_1025x321_bf16_fps", fps, "frames/s",
+         fps / BASELINE_FPS)
+    del fn, inputs
+    _release_device_memory()
+
+    bench_zoo()
+
     emit("resnet18_2d_stereo_1025x321_bf16_fps", fps, "frames/s",
          fps / BASELINE_FPS)
 
