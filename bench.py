@@ -1,12 +1,17 @@
 """Benchmark: the full stereo zoo + TrailNet, batch 1, bf16, one TPU chip.
 
-Prints ONE JSON line PER MODEL ({"metric", "value", "unit",
+Prints one JSON line per metric ({"metric", "value", "unit",
 "vs_baseline"}), with the flagship (ResNet18-2D @1025x321, fps) as the
 FINAL line — the driver parses the tail line; the preceding lines make
 the whole zoo driver-verifiable (VERDICT r2: the reference published its
-zoo as one table, `stereoDNN/README.md:24-37`). The flagship is
-MEASURED first (pristine HBM; zoo residue measured +45% on it) and its
-line printed both first and re-emitted as the tail.
+zoo as one table, `stereoDNN/README.md:24-37`). Contract: the flagship
+line appears EXACTLY TWICE (head and tail) with identical values, by
+design — it is MEASURED once, first (pristine HBM; zoo residue measured
++45% on it), so the headline number survives an outer timeout that cuts
+the run mid-zoo. A consumer that dedupes by metric name must treat the
+two flagship lines as one measurement; a consumer that blindly parses
+the literal last printed line of a TRUNCATED run can still see a zoo
+line — match the flagship metric name when robustness matters.
 
 Methodology: each model runs inside an on-device `lax.scan` whose carry
 forces a data dependency between iterations (async dispatch through the
@@ -88,9 +93,29 @@ def stereo_case(name, hw, n_lo, n_hi):
     return fn, inputs, n_lo, n_hi
 
 
+def yolo_case(n_lo, n_hi):
+    """YOLO-relu 448x448 device forward (the safety-stop detector the
+    reference served at 1 Hz, `everything.launch:12`). The upstream
+    caffemodel was never mirrored, so weights are seeded random — timing
+    is weight-independent. bf16 mirrors the reference's FP16 serving
+    mode (`tests_basic.launch` YOLO FP16 rows)."""
+    from pathlib import Path
+
+    from redtail_tpu.io.caffe import load_prototxt
+    from redtail_tpu.models.caffe_net import CaffeNet
+
+    proto = load_prototxt(
+        Path("/root/reference/models/pretrained/yolo-relu.prototxt"))
+    net = CaffeNet(proto, seed=3, dtype=jnp.bfloat16)
+    x = jnp.asarray(np.random.RandomState(2).rand(1, 448, 448, 3) * 255,
+                    jnp.bfloat16)
+    return (lambda a: net(a), (x,), n_lo, n_hi)
+
+
 def emit(metric, value, unit, vs_baseline):
     print(json.dumps({"metric": metric, "value": round(value, 3),
-                      "unit": unit, "vs_baseline": round(vs_baseline, 3)}))
+                      "unit": unit, "vs_baseline": round(vs_baseline, 3)}),
+          flush=True)
 
 
 def bench_zoo():
@@ -102,7 +127,17 @@ def bench_zoo():
          stereo_case("nvsmall", (321, 1025), 5, 35)),
         ("resnet18_3d_stereo_1025x321_bf16_ms", 650.0,
          stereo_case("resnet18", (321, 1025), 5, 25)),
+        # The one row the reference actually published at this exact
+        # config: ResNet18-2D @513x257, 9 ms TRT on Titan Xp
+        # (`stereoDNN/README.md:31`) — direct apples-to-apples.
+        ("resnet18_2d_stereo_513x257_ms", 9.0,
+         stereo_case("resnet18_2d", (257, 513), 20, 320)),
     ]
+    try:
+        # Budget baseline: the stack served YOLO at 1 Hz -> 1000 ms.
+        cases.append(("yolo_448x448_ms", 1000.0, yolo_case(20, 320)))
+    except Exception as e:  # prototxt absent in some environments
+        print(f"# yolo skipped: {e}", flush=True)
     try:
         from redtail_tpu.models.trailnet import load_trailnet
         net = load_trailnet()
@@ -117,6 +152,146 @@ def bench_zoo():
         emit(metric, sec * 1e3, "ms/frame", baseline_ms / (sec * 1e3))
         del fn, inputs
         _release_device_memory()
+
+
+def bench_pipeline(duration=20.0, camera_hz=30.0):
+    """Full-stack CO-RESIDENT benchmark — the reference's actual product
+    shape (`everything.launch:34-63`): flagship stereo + TrailNet (30 Hz
+    cap) + YOLO (1 Hz) + controller (20 Hz) sharing ONE chip via the real
+    `runtime/graph.py` nodes for ``duration`` seconds, synthetic camera
+    pair at ``camera_hz``. Unlike the per-model lines (pristine HBM,
+    device-time-only), these are sustained wall-clock serving numbers
+    with all engines resident — the BASELINE.md "full stack at camera
+    rate" row, and the direct quantification of the co-residency cost
+    the isolated lines exclude.
+
+    Emits: per-stage sustained fps (vs their serving-rate targets),
+    median camera->setpoint latency (vs the camera frame period), and
+    the total node error count.
+    """
+    import threading
+
+    from redtail_tpu.control import (Controller, ControllerConfig, Drone,
+                                     FcuState, JoyCommand, Pose)
+    from redtail_tpu.models import STEREO_SPECS, init_stereo_params
+    from redtail_tpu.runtime import NodeGraph
+    from redtail_tpu.runtime.nodes import StereoNode, TrailNetNode, YoloNode
+
+    g = NodeGraph()
+    spec = dataclasses.replace(STEREO_SPECS["resnet18_2d"],
+                               input_hw=(321, 1025))
+    stereo = StereoNode(spec, init_stereo_params(spec))
+    trailnet = yolo = None
+    try:
+        trailnet = TrailNetNode()
+    except Exception as e:
+        print(f"# pipeline trailnet skipped: {e}", flush=True)
+    try:
+        from pathlib import Path
+
+        from redtail_tpu.io.caffe import load_prototxt
+        from redtail_tpu.models.caffe_net import CaffeNet
+        yolo = YoloNode(CaffeNet(load_prototxt(Path(
+            "/root/reference/models/pretrained/yolo-relu.prototxt")),
+            seed=3, dtype=jnp.bfloat16))
+    except Exception as e:
+        print(f"# pipeline yolo skipped: {e}", flush=True)
+
+    ctl = Controller(Drone(), ControllerConfig(spin_rate_hz=20.0))
+    ctl.set_fcu_state(FcuState(mode="OFFBOARD", armed=True))
+    ctl.set_pose(Pose())
+    ctl.arm()
+    ctl.step()
+    ctl.set_pose(Pose(np.array([0.0, 0.0, 1.5])))
+    ctl.step()
+    ctl.on_joystick(JoyCommand(dnn_on=True))
+
+    g.add_node("stereo", stereo, ["camera/left", "camera/right"],
+               "stereo/disparity", max_rate_hz=camera_hz, sync_slop=0.1)
+    if trailnet is not None:
+        def trail_stage(frame):
+            probs = trailnet(frame)
+            ctl.on_trailnet(probs)
+            return probs
+        g.add_node("trailnet", trail_stage, ["camera/left"],
+                   "trails_dnn/network/output", max_rate_hz=30.0)
+    if yolo is not None:
+        def obj_stage(frame):
+            dets = yolo(frame)
+            ctl.on_objects(dets)
+            return dets
+        g.add_node("yolo", obj_stage, ["camera/left"],
+                   "object_dnn/network/output", max_rate_hz=1.0)
+
+    disp_topic = g.topic("stereo/disparity")
+    latency_ms = []
+
+    def control_stage(_disp):
+        m = disp_topic.latest()
+        ctl.step()  # setpoint computed -> camera->setpoint latency closes
+        latency_ms.append((time.monotonic() - m.stamp) * 1e3)
+        return None
+    g.add_node("controller", control_stage, ["stereo/disparity"], None,
+               max_rate_hz=20.0)
+
+    # Camera: one thread publishes L/R with a SHARED stamp (the ZED-pair
+    # role). Frames are pregenerated — on the 1-core host, per-tick
+    # randint generation would contend with the node threads and measure
+    # the host RNG, not the stack.
+    rs = np.random.RandomState(0)
+    frames = [(rs.randint(0, 256, (321, 1025, 3), dtype=np.uint8),
+               rs.randint(0, 256, (321, 1025, 3), dtype=np.uint8))
+              for _ in range(4)]
+    cam_stop = threading.Event()
+    tl, tr = g.topic("camera/left"), g.topic("camera/right")
+
+    def camera_loop():
+        period, i = 1.0 / camera_hz, 0
+        while not cam_stop.is_set():
+            t0 = time.monotonic()
+            left, right = frames[i % len(frames)]
+            tl.publish(left, stamp=t0)
+            tr.publish(right, stamp=t0)
+            i += 1
+            dt = time.monotonic() - t0
+            if period > dt:
+                cam_stop.wait(period - dt)
+    cam = threading.Thread(target=camera_loop, daemon=True)
+
+    # Warm-up: compile every engine BEFORE the timed window (the
+    # reference likewise built its TRT engines before the node loops).
+    dummy = np.zeros((321, 1025, 3), np.uint8)
+    stereo(dummy, dummy)
+    if trailnet is not None:
+        trailnet(dummy)
+    if yolo is not None:
+        yolo(dummy)
+
+    g.start()
+    cam.start()
+    t_start = time.monotonic()
+    time.sleep(duration)
+    elapsed = time.monotonic() - t_start
+    cam_stop.set()
+    cam.join()
+    g.stop()
+
+    emit("pipeline_stereo_fps", g.nodes["stereo"].processed / elapsed,
+         "frames/s", g.nodes["stereo"].processed / elapsed / camera_hz)
+    if trailnet is not None:
+        emit("pipeline_trailnet_fps",
+             g.nodes["trailnet"].processed / elapsed, "frames/s",
+             g.nodes["trailnet"].processed / elapsed / 30.0)
+    if yolo is not None:
+        emit("pipeline_yolo_fps", g.nodes["yolo"].processed / elapsed,
+             "frames/s", g.nodes["yolo"].processed / elapsed / 1.0)
+    if latency_ms:
+        med = float(np.median(latency_ms))
+        emit("pipeline_e2e_latency_ms", med, "ms",
+             (1000.0 / camera_hz) / med)
+    errors = sum(n.errors for n in g.nodes.values())
+    emit("pipeline_errors", float(errors), "count",
+         1.0 if errors == 0 else 0.0)
 
 
 def _release_device_memory():
@@ -139,16 +314,23 @@ def main():
     enable_compilation_cache()  # TRT-plan-file equivalent; amortizes compile
 
     # Flagship FIRST (pristine HBM — zoo residue measured +45% on it,
-    # see _release_device_memory) and also re-emitted as the FINAL line:
-    # the driver parses the tail line, and measuring the headline before
-    # the long zoo pass keeps it intact even if an outer timeout cuts
-    # the run mid-zoo.
+    # see _release_device_memory) and also re-emitted as the FINAL line.
+    # Measuring the headline before the long zoo pass means the flagship
+    # NUMBER survives an outer timeout that cuts the run mid-zoo (the
+    # literal last line of a truncated run can still be a zoo line — a
+    # robust consumer matches the flagship metric name).
     fn, inputs, n_lo, n_hi = stereo_case("resnet18_2d", (321, 1025), 10, 160)
     per_frame = chained_latency(fn, inputs, n_lo, n_hi)
     fps = 1.0 / per_frame
     emit("resnet18_2d_stereo_1025x321_bf16_fps", fps, "frames/s",
          fps / BASELINE_FPS)
     del fn, inputs
+    _release_device_memory()
+
+    try:
+        bench_pipeline()
+    except Exception as e:  # the composed-stack lines must never cost
+        print(f"# pipeline bench failed: {e}", flush=True)  # the zoo
     _release_device_memory()
 
     bench_zoo()

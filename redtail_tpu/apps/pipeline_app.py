@@ -60,6 +60,10 @@ def build_argparser():
                    "against an in-process wire-level autopilot over real "
                    "UDP sockets), or 'mavlink:HOST:PORT' for an external "
                    "FCU (PX4 SITL / hardware, e.g. 127.0.0.1:14540)")
+    p.add_argument("--mavlink-sign-key", metavar="HEX64",
+                   help="64-hex-char MAVLink v2 signing key (PX4 "
+                   "SETUP_SIGNING semantics): sign outbound frames, "
+                   "verify + replay-gate inbound, drop unsigned")
     return p
 
 
@@ -78,6 +82,8 @@ def _setup_fcu(args, ctl, vehicle):
     from redtail_tpu.control.mavlink import (MavlinkFcu, MicroAutopilot,
                                              UdpLink)
     px4 = vehicle.offboard_mode_name == "OFFBOARD"
+    sign_key = (bytes.fromhex(args.mavlink_sign_key)
+                if args.mavlink_sign_key else None)
     stop = threading.Event()
     thread = None
     if args.fcu == "mavlink":
@@ -88,8 +94,10 @@ def _setup_fcu(args, ctl, vehicle):
         s2 = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
         s2.bind(("127.0.0.1", 0))
         p1, p2 = s1.getsockname()[1], s2.getsockname()[1]
-        fcu = MavlinkFcu(UdpLink(("127.0.0.1", p2), sock=s1), px4=px4)
-        ap = MicroAutopilot(UdpLink(("127.0.0.1", p1), sock=s2), px4=px4)
+        fcu = MavlinkFcu(UdpLink(("127.0.0.1", p2), sock=s1), px4=px4,
+                         signing_key=sign_key)
+        ap = MicroAutopilot(UdpLink(("127.0.0.1", p1), sock=s2), px4=px4,
+                            signing_key=sign_key)
 
         def ap_loop():
             while not stop.is_set():
@@ -99,7 +107,8 @@ def _setup_fcu(args, ctl, vehicle):
         thread.start()
     else:
         host, port = args.fcu.split(":")[1:]
-        fcu = MavlinkFcu(UdpLink((host, int(port))), px4=px4)
+        fcu = MavlinkFcu(UdpLink((host, int(port))), px4=px4,
+                         signing_key=sign_key)
     ok = arm_sequence(ctl, fcu, get_pose=lambda: Pose(np.zeros(3)),
                       retry_sec=0.5, timeout_sec=30.0)
     if not ok:

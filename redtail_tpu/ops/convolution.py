@@ -19,12 +19,40 @@ All matmul-shaped work accumulates in fp32 on the MXU via
 
 from __future__ import annotations
 
+import contextlib
+import contextvars
+from functools import partial
 from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax import lax
+
+# ------------------------------------------------------- plain lowering
+
+_PLAIN_LOWERING = contextvars.ContextVar("redtail_plain_lowering",
+                                         default=False)
+
+
+@contextlib.contextmanager
+def plain_lowering():
+    """Force the spec-literal lowerings while tracing: no packed-channel
+    restructures, no sub-pixel deconv autos — every layer is the one
+    dilated/strided conv the spec names. Training traces its forward
+    under this context: the packed serving forms are inference-latency
+    restructures whose backward cost/shape is unvalidated, while the
+    plain graph differentiates cleanly (and `jax.checkpoint` remat of a
+    plain graph is what the memory plan was sized for)."""
+    token = _PLAIN_LOWERING.set(True)
+    try:
+        yield
+    finally:
+        _PLAIN_LOWERING.reset(token)
+
+
+def use_plain_lowering() -> bool:
+    return _PLAIN_LOWERING.get()
 
 
 def tf_same_padding(in_dim: int, kern_dim: int, stride_dim: int) -> Tuple[int, int]:

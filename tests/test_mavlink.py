@@ -323,3 +323,144 @@ def test_udp_link_hostname_remote_pins_numeric_peer():
         assert got == frame
     finally:
         peer.close()
+
+
+# ------------------------------------------------------------- signing
+
+
+KEY = bytes(range(32))
+
+
+def test_signed_roundtrip_and_trailer_layout():
+    """Outbound signing: IFLAG_SIGNED set, 13-byte trailer =
+    link_id + 48-bit timestamp + sha256_48, verified by a same-key
+    deframer; timestamps strictly increase even with a frozen clock."""
+    from redtail_tpu.control.mavlink import Signer
+
+    tx = Signer(KEY, link_id=3, clock=lambda: 1420070400.0 + 1.0)
+    f1 = pack_frame(COMMAND_ACK, 0, 1, 1, dict(command=400, result=0),
+                    version=2, signing=tx)
+    f2 = pack_frame(COMMAND_ACK, 1, 1, 1, dict(command=400, result=0),
+                    version=2, signing=tx)
+    assert f1[2] & 0x01  # incompat IFLAG_SIGNED
+    assert f1[-13] == 3  # link_id leads the trailer
+    ts1 = int.from_bytes(f1[-12:-6], "little")
+    ts2 = int.from_bytes(f2[-12:-6], "little")
+    assert ts1 == 100000  # 1 s past the 2015 epoch in 10 us units
+    assert ts2 == ts1 + 1  # frozen clock: monotonic bump, never reuse
+    d = Deframer(signing=Signer(KEY))
+    assert [m[0] for m in d.feed(f1 + f2)] == [COMMAND_ACK.msgid] * 2
+    assert d.signing.bad_sig == 0 and d.signing.replays == 0
+
+
+def test_tampered_signature_rejected():
+    from redtail_tpu.control.mavlink import Signer
+
+    frame = pack_frame(COMMAND_ACK, 0, 1, 1, dict(command=400, result=0),
+                       version=2, signing=Signer(KEY))
+    bad = frame[:-1] + bytes([frame[-1] ^ 0xFF])
+    d = Deframer(signing=Signer(KEY))
+    assert d.feed(bad) == []
+    assert d.signing.bad_sig == 1
+    # stream survives: a good frame right after still parses
+    good = pack_frame(COMMAND_ACK, 1, 1, 1, dict(command=400, result=0),
+                      version=2, signing=Signer(KEY))
+    assert [m[0] for m in d.feed(good)] == [COMMAND_ACK.msgid]
+
+
+def test_tampered_payload_with_fixed_crc_rejected():
+    """An attacker who fixes up the CRC after mutating the payload must
+    still fail the signature (the sha256_48 covers header..crc)."""
+    import struct
+
+    from redtail_tpu.control.mavlink import Signer
+
+    frame = pack_frame(COMMAND_ACK, 0, 1, 1, dict(command=400, result=0),
+                       version=2, signing=Signer(KEY))
+    hdr, length = bytearray(frame), frame[1]
+    hdr[10] ^= 0x01  # first payload byte (command id)
+    body = bytes(hdr[1:10 + length])
+    crc = x25_crc(body)
+    crc = x25_crc(bytes([COMMAND_ACK.crc_extra]), crc)
+    hdr[10 + length:12 + length] = struct.pack("<H", crc)
+    d = Deframer(signing=Signer(KEY))
+    assert d.feed(bytes(hdr)) == []
+    assert d.signing.bad_sig == 1
+
+
+def test_replayed_frame_rejected():
+    from redtail_tpu.control.mavlink import Signer
+
+    frame = pack_frame(COMMAND_ACK, 0, 1, 1, dict(command=400, result=0),
+                       version=2, signing=Signer(KEY))
+    d = Deframer(signing=Signer(KEY))
+    assert len(d.feed(frame)) == 1
+    assert d.feed(frame) == []  # byte-identical replay
+    assert d.signing.replays == 1 and d.signing.bad_sig == 0
+
+
+def test_wrong_key_rejected():
+    from redtail_tpu.control.mavlink import Signer
+
+    frame = pack_frame(COMMAND_ACK, 0, 1, 1, dict(command=400, result=0),
+                       version=2, signing=Signer(KEY))
+    d = Deframer(signing=Signer(bytes(32)))
+    assert d.feed(frame) == []
+    assert d.signing.bad_sig == 1
+
+
+def test_unsigned_frames_dropped_when_signing_required():
+    """With a key configured the deframer enforces signing: unsigned v1
+    AND v2 frames are dropped (counted) unless allow_unsigned."""
+    from redtail_tpu.control.mavlink import Signer
+
+    v1 = pack_frame(COMMAND_ACK, 0, 1, 1, dict(command=400, result=0))
+    v2 = pack_frame(COMMAND_ACK, 1, 1, 1, dict(command=400, result=0),
+                    version=2)
+    strict = Deframer(signing=Signer(KEY))
+    assert strict.feed(v1 + v2) == []
+    assert strict.dropped_unsigned == 2 and strict.bad_crc == 0
+    lenient = Deframer(signing=Signer(KEY), allow_unsigned=True)
+    assert [m[0] for m in lenient.feed(v1 + v2)] == [COMMAND_ACK.msgid] * 2
+
+
+def test_arm_sequence_signed_end_to_end():
+    """Full handshake with BOTH ends signing and enforcing: same byte
+    path as test_arm_sequence_over_the_wire, plus sha256_48 trailers on
+    every frame in both directions."""
+    link = LoopbackLink()
+    t = [0.0]
+
+    def clock():
+        return t[0]
+
+    ap = MicroAutopilot(link.b, signing_key=KEY, link_id=1)
+    fcu = MavlinkFcu(link.a, clock=clock, signing_key=KEY, link_id=0)
+
+    def sleep(dt):
+        t[0] += dt
+        ap.step()
+
+    ctl = Controller(Drone(), ControllerConfig())
+    ap.step()
+    ok = arm_sequence(ctl, fcu, get_pose=lambda: Pose(np.zeros(3)),
+                      clock=clock, sleep=sleep, retry_sec=0.2,
+                      timeout_sec=10.0)
+    assert ok
+    assert ap.armed and ap.custom_mode == 6 << 16
+    assert fcu.signing.bad_sig == 0 and ap.signing.bad_sig == 0
+    assert len(ap.setpoints) >= 20
+
+
+def test_signed_fcu_ignores_unsigned_autopilot():
+    """Key mismatch across the link: an unsigned (or wrong-keyed)
+    autopilot can never update the signed FCU's state — the spoofed-FCU
+    threat signing exists for."""
+    link = LoopbackLink()
+    fcu = MavlinkFcu(link.a, signing_key=KEY)
+    ap_unsigned = MicroAutopilot(link.b)
+    ap_unsigned.armed = True
+    ap_unsigned.step()  # emits an armed HEARTBEAT, unsigned
+    st = fcu.state()
+    assert not st.armed and not st.mode  # default FcuState untouched
+    assert fcu._deframer.dropped_unsigned >= 1

@@ -45,7 +45,7 @@ def test_hwc_to_chw(lib, rng):
 
 @pytest.mark.parametrize("shape", [(321, 1025, 3), (322, 1024, 3),
                                    (7, 9, 3), (8, 10, 1), (1, 5, 4),
-                                   (2, 33, 41, 3), (6, 8, 32)])
+                                   (2, 33, 41, 3), (6, 8, 16), (6, 8, 32)])
 @pytest.mark.parametrize("swap", [True, False])
 def test_pack_s2d_matches_numpy(lib, rng, shape, swap):
     """The fused serving-ingest pack (BGR->RGB + space-to-depth(2)) is
