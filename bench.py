@@ -294,6 +294,58 @@ def bench_pipeline(duration=20.0, camera_hz=30.0):
          1.0 if errors == 0 else 0.0)
 
 
+def bench_train_step():
+    """NVTiny train-step latency on the chip (VERDICT r3 item 4): the
+    bf16 mixed-precision step (fp32 master weights, conv backward via
+    `ops.convolution._mixed_accum_conv`) vs the fp32 step, at the
+    default training config (crop 160x512, batch 4). The reference
+    trained externally (TF/DIGITS rigs, SURVEY.md §2.2) so there is no
+    upstream number; vs_baseline is the measured fp32-step / bf16-step
+    speedup. The step chains NATURALLY (state -> state), so the scan
+    needs no eps trick; two loop lengths cancel host RTT as usual.
+    """
+    from redtail_tpu.models import STEREO_SPECS, init_stereo_params
+    from redtail_tpu.parallel.training import make_train_step
+
+    spec = dataclasses.replace(STEREO_SPECS["nvtiny"], input_hw=(160, 512))
+    rs = np.random.RandomState(0)
+    left = jnp.asarray(rs.rand(4, 160, 512, 3), jnp.float32)
+    right = jnp.asarray(rs.rand(4, 160, 512, 3), jnp.float32)
+    disp = jnp.asarray(rs.rand(4, 160, 512) * spec.full_max_disp,
+                       jnp.float32)
+    valid = jnp.ones((4, 160, 512), jnp.float32)
+
+    def step_ms(compute_dtype, n_lo, n_hi, reps=3):
+        init_fn, step_fn = make_train_step(spec, compute_dtype=compute_dtype)
+        state = init_fn(init_stereo_params(spec, dtype=jnp.float32))
+
+        @partial(jax.jit, static_argnums=1)
+        def loop(state, n):
+            def body(st, _):
+                st2, m = step_fn(st, left, right, disp, valid)
+                return st2, m["loss"]
+            _, losses = lax.scan(body, state, None, length=n)
+            return losses.sum()
+
+        for n in (n_lo, n_hi):
+            float(loop(state, n))  # compile + warm
+
+        def timed(n):
+            best = float("inf")
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                float(loop(state, n))
+                best = min(best, time.perf_counter() - t0)
+            return best
+
+        return (timed(n_hi) - timed(n_lo)) / (n_hi - n_lo) * 1e3
+
+    bf16 = step_ms(jnp.bfloat16, 3, 13)
+    _release_device_memory()
+    fp32 = step_ms(None, 3, 13)
+    emit("nvtiny_train_step_bf16_ms", bf16, "ms/step", fp32 / bf16)
+
+
 def _release_device_memory():
     """Drop each case's live buffers + cached executables before the next
     measurement: the big 3D models' params/volumes left resident in HBM
@@ -334,6 +386,12 @@ def main():
     _release_device_memory()
 
     bench_zoo()
+
+    try:
+        bench_train_step()
+    except Exception as e:  # the train line must never cost the tail
+        print(f"# train-step bench failed: {e}", flush=True)
+    _release_device_memory()
 
     emit("resnet18_2d_stereo_1025x321_bf16_fps", fps, "frames/s",
          fps / BASELINE_FPS)

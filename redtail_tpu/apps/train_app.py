@@ -160,7 +160,8 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--data-parallel", type=int, default=1,
                    help="devices on the mesh data axis")
     s.add_argument("--dtype", default="float32",
-                   help="training computes in float32; bf16/w8/int8 are "
+                   help="conv compute dtype: float32 or bfloat16 (mixed "
+                        "precision, fp32 master weights); w8/int8 are "
                         "serving rungs cast from the trained checkpoint")
     s.add_argument("--out", default=None, help="final params .npz")
     s.set_defaults(fn=_run_stereo)

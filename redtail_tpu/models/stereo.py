@@ -48,6 +48,7 @@ from redtail_tpu.ops import (
     softargmin,
 )
 from redtail_tpu.ops.cost_volume import corr_cost_volume_dlast
+from redtail_tpu.ops.convolution import use_plain_lowering
 
 Params = Dict[str, Dict]
 
@@ -321,6 +322,8 @@ def use_hpack2d() -> bool:
     """H-packed 2D towers (s2d ingest required): default ON on TPU,
     REDTAIL_TPU_HPACK2D=0/1 overrides."""
     import os
+    if use_plain_lowering():
+        return False
     v = os.environ.get("REDTAIL_TPU_HPACK2D")
     if v is not None:
         return v == "1"
@@ -339,6 +342,8 @@ def use_hpack_corr() -> bool:
     Same lesson class as r1's pallas CV: isolated wins != composed
     wins. REDTAIL_TPU_HPACK_CORR=1 opts in (exactness-gated)."""
     import os
+    if use_plain_lowering():
+        return False
     return os.environ.get("REDTAIL_TPU_HPACK_CORR") == "1"
 
 
@@ -346,6 +351,8 @@ def use_fused_towers() -> bool:
     """Block-diagonal siamese towers: default on TPU
     (REDTAIL_TPU_FUSED_TOWERS=0/1 overrides)."""
     import os
+    if use_plain_lowering():
+        return False
     v = os.environ.get("REDTAIL_TPU_FUSED_TOWERS")
     if v is not None:
         return v == "1"
@@ -541,6 +548,8 @@ def use_packed3d() -> bool:
     NVSmall 53.2 -> 37.3 ms, NVTiny 4.45 -> 2.95 ms, ResNet-18 3D
     82.6 -> 57.7 ms."""
     import os
+    if use_plain_lowering():
+        return False
     v = os.environ.get("REDTAIL_TPU_PACKED3D")
     if v is not None:
         return v == "1"
@@ -671,7 +680,7 @@ def stereo_forward(spec: StereoSpec, params: Params, left, right):
             d = softargmax(vol, axis=-1)[..., None]
         return _bneck_head(spec, params, d, conv1_act, full_hw)
     first = spec.enc3d[0]
-    if first.stride == 1:
+    if first.stride == 1 and not use_plain_lowering():
         # Fused cost-volume + first conv3d: the (D, H, W, 2C) volume is
         # never materialized and the heaviest conv3d factors into a few
         # conv2d (exact; see ops/fused_cost_volume_conv.py).

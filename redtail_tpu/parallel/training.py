@@ -21,6 +21,7 @@ import jax.numpy as jnp
 import optax
 
 from redtail_tpu.models import stereo_forward
+from redtail_tpu.ops.convolution import plain_lowering
 from redtail_tpu.parallel.sharding import batch_sharding, replicate
 
 
@@ -45,7 +46,8 @@ def smooth_l1_disparity_loss(pred, target, mask=None, delta: float = 1.0):
 
 
 def make_train_step(spec, optimizer: Optional[optax.GradientTransformation]
-                    = None, mesh=None, remat: bool = True):
+                    = None, mesh=None, remat: bool = True,
+                    compute_dtype=None):
     """Build `(init_fn, step_fn)` for one stereo model.
 
     - ``init_fn(params) -> TrainState``
@@ -53,12 +55,27 @@ def make_train_step(spec, optimizer: Optional[optax.GradientTransformation]
 
     With a mesh, the step is jitted with explicit shardings (batch over
     data, H over spatial, state replicated).
+
+    ``compute_dtype`` (e.g. ``jnp.bfloat16``): mixed-precision training —
+    master weights and optimizer moments stay in the params' dtype
+    (fp32), the forward/backward convs run with operands cast down
+    (fp32 MXU accumulation via ``preferred_element_type``; the conv
+    backward is the `ops.convolution._mixed_accum_conv` custom_vjp —
+    JAX's stock conv grad rule rejects the mixed-dtype form). Loss and
+    metrics are always fp32.
+
+    The forward traces under `ops.convolution.plain_lowering`: every
+    layer is the one strided/dilated conv the spec names — the packed
+    serving restructures are inference-latency forms whose backward
+    cost/shape is unvalidated, and `jax.checkpoint` remat of the plain
+    graph is what the memory plan was sized for.
     """
     if optimizer is None:
         optimizer = optax.adam(1e-4)
 
     def forward(params, left, right):
-        pred = stereo_forward(spec, params, left, right)
+        with plain_lowering():
+            pred = stereo_forward(spec, params, left, right)
         if spec.corr:
             # The correlation model's head is a sigmoid normalized to
             # [0,1] of the input width (`resnet18_2D_513x257_net.cpp`
@@ -73,6 +90,12 @@ def make_train_step(spec, optimizer: Optional[optax.GradientTransformation]
             forward, policy=jax.checkpoint_policies.nothing_saveable)
 
     def loss_fn(params, left, right, target, valid):
+        if compute_dtype is not None:
+            cast = lambda a: (a.astype(compute_dtype)
+                              if jnp.issubdtype(a.dtype, jnp.floating)
+                              else a)
+            params = jax.tree_util.tree_map(cast, params)
+            left, right = cast(left), cast(right)
         pred = forward(params, left, right)
         loss = smooth_l1_disparity_loss(pred, target, valid)
         return loss, pred

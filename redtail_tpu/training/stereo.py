@@ -50,13 +50,13 @@ class StereoTrainConfig:
     ckpt_dir: Optional[str] = None
     resume: bool = False
     data_parallel: int = 1                  # devices on the mesh 'data' axis
-    # Training computes in float32 (master weights). bf16/w8/int8 are
-    # SERVING rungs produced by casting/quantizing the trained fp32
-    # checkpoint (stereo_app --quantize, engine builder --dtype): JAX
-    # cannot differentiate the framework's f32-accumulating bf16 convs
-    # (conv transpose rule rejects bf16 operands + f32
-    # preferred_element_type), so a bf16 train step is unbuildable at
-    # the op level, not a config choice.
+    # Compute dtype for the forward/backward convs. Master weights and
+    # optimizer moments are ALWAYS float32; 'bfloat16' runs mixed
+    # precision (operands cast down, fp32 MXU accumulation; the conv
+    # backward is the `ops.convolution._mixed_accum_conv` custom_vjp —
+    # JAX's stock conv grad rule rejects the mixed-dtype form, which is
+    # why this used to be fp32-only). bf16/w8/int8 SERVING rungs are
+    # still produced from the fp32 master checkpoint.
     dtype: str = "float32"
 
 
@@ -177,12 +177,10 @@ def train_stereo(cfg: StereoTrainConfig, dataset,
     `dataset` / `eval_dataset`: `data/kitti.py` KittiStereoDataset (or any
     object with the same `batches`/`sample`/`_crop` surface).
     """
-    if jnp.zeros((), cfg.dtype).dtype != jnp.float32:
+    compute_dtype = jnp.zeros((), cfg.dtype).dtype
+    if compute_dtype not in (jnp.float32, jnp.bfloat16):
         raise ValueError(
-            f"training dtype must be float32 (got {cfg.dtype}): the "
-            "f32-accumulating bf16 convs are not differentiable in JAX "
-            "(conv transpose rejects mixed bf16/f32); produce bf16/w8/"
-            "int8 SERVING rungs from the trained fp32 checkpoint instead")
+            f"training dtype must be float32 or bfloat16, got {cfg.dtype}")
     spec = _make_spec(cfg)
     optimizer = _make_optimizer(cfg)
 
@@ -198,9 +196,13 @@ def train_stereo(cfg: StereoTrainConfig, dataset,
         if cfg.batch_size % cfg.data_parallel:
             raise ValueError("data_parallel must divide batch_size")
 
-    init_fn, step_fn = make_train_step(spec, optimizer, mesh=mesh)
+    init_fn, step_fn = make_train_step(
+        spec, optimizer, mesh=mesh,
+        compute_dtype=(None if compute_dtype == jnp.float32
+                       else compute_dtype))
+    # Master weights are always fp32; cfg.dtype is the conv compute dtype.
     params = init_stereo_params(spec, key=jax.random.PRNGKey(cfg.seed),
-                                dtype=jnp.dtype(cfg.dtype))
+                                dtype=jnp.float32)
     state = init_fn(params)
 
     ckpt_path = (Path(cfg.ckpt_dir) / f"{cfg.model}_train.npz"
