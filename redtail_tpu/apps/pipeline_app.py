@@ -50,6 +50,11 @@ def build_argparser():
                    help="inject one synthetic person-sized detection into "
                    "object_dnn/network/output after T seconds, exercising "
                    "the controller's person-stop interlock live")
+    p.add_argument("--joystick", metavar="DEVICE",
+                   help="evdev joystick device (e.g. /dev/input/event3): "
+                        "teleop override + DNN on/off buttons "
+                        "(`joystickCallback:178-236`); skipped with a "
+                        "warning when absent")
     p.add_argument("--control-rate", type=float, default=20.0)
     p.add_argument("--duration", type=float, default=10.0)
     p.add_argument("--vehicle", default="drone",
@@ -183,9 +188,19 @@ def main(argv=None):
     ctl.step()  # Armed -> Takeoff
     ctl.set_pose(Pose(np.array([0.0, 0.0, 1.5])))
     ctl.step()  # -> Navigating
-    # no joystick in this composition: enable DNN control directly (the
-    # reference's operator pressed the A button, `joystickCallback:216`)
-    ctl.on_joystick(JoyCommand(dnn_on=True))
+    joystick = None
+    if args.joystick:
+        from redtail_tpu.runtime.joystick import EvdevJoystick
+        joystick = EvdevJoystick(args.joystick, ctl.on_joystick)
+        if not joystick.start():
+            print(f"warning: joystick {args.joystick} unavailable, "
+                  "enabling DNN control directly", flush=True)
+            joystick = None
+    if joystick is None:
+        # no joystick in this composition: enable DNN control directly
+        # (the reference's operator pressed the A button,
+        # `joystickCallback:216`)
+        ctl.on_joystick(JoyCommand(dnn_on=True))
 
     # --- graph wiring (everything.launch topology)
     g.add_node("stereo", stereo, ["camera/left", "camera/right"],
@@ -290,6 +305,8 @@ def main(argv=None):
         src_l.stop()
         if src_r is not None:
             src_r.stop()
+        if joystick is not None:
+            joystick.stop()
         g.stop()
         fcu_stop()
 

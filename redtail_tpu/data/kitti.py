@@ -182,11 +182,15 @@ class KittiStereoDataset:
 
 
 def make_synthetic_kitti(root, *, n: int = 4, hw: Tuple[int, int] = (48, 96),
-                         disp=3.0, seed: int = 0) -> Path:
+                         disp=3.0, seed: int = 0, octaves: int = 1) -> Path:
     """Write a tiny generic-layout dataset where right = left shifted by a
     per-image constant disparity — a learnable toy task for tests and
     smoke runs. ``disp``: one value, or an (lo, hi) range sampled
-    per image (forcing the net to correlate rather than learn a bias)."""
+    per image (forcing the net to correlate rather than learn a bias).
+    ``octaves``: extra finer-scale texture layers — the single /4-scale
+    cubic texture is locally near-uniform, which caps how precisely a
+    correlation model can localize the shift (measured: ResNet-18 3D
+    plateaued at ~2 px EPE on octaves=1, converged on octaves=3)."""
     import cv2
 
     root = Path(root)
@@ -198,9 +202,18 @@ def make_synthetic_kitti(root, *, n: int = 4, hw: Tuple[int, int] = (48, 96),
     for i in range(n):
         d = int(rng.randint(round(lo), round(hi) + 1))
         # Smooth random texture so the shift is recoverable by correlation.
-        base = rng.rand(h // 4, (w + d) // 4 + 1, 3).astype(np.float32)
-        tex = cv2.resize(base, (w + d, h), interpolation=cv2.INTER_CUBIC)
-        tex = np.clip(tex, 0, 1)
+        tex = np.zeros((h, w + d, 3), np.float32)
+        weight_sum = 0.0
+        for o in range(octaves):
+            scale = 4 >> min(o, 2) if o < 3 else 1
+            wgt = 1.0 / (1 + o)
+            base = rng.rand(max(h // scale, 1),
+                            max((w + d) // scale, 1) + 1,
+                            3).astype(np.float32)
+            tex += wgt * cv2.resize(base, (w + d, h),
+                                    interpolation=cv2.INTER_CUBIC)
+            weight_sum += wgt
+        tex = np.clip(tex / weight_sum, 0, 1)
         # Stereo convention (matching the cost volume's right-shift,
         # ops/cost_volume.py): left[x] corresponds to right[x - d].
         left = tex[:, :w]

@@ -181,3 +181,38 @@ def trailnet_forward(params: Dict, x, *, return_logits: bool = False):
     if return_logits:
         return outs[0], outs[1]
     return jnp.concatenate(outs, axis=-1).astype(x.dtype)
+
+
+# ----------------------------------------------------- weight artifacts
+
+
+def params_to_w8_npz(params: Dict, path) -> None:
+    """Save a native TrailNet tree as per-channel int8 weights + fp32
+    scales/biases (halves the ~22 MB bf16 artifact; classification is
+    insensitive to w8 — the same size rung the stereo zoo uses,
+    `quant/ptq.py`). Layout: `<layer>/w_q` int8, `<layer>/w_scale` fp32
+    (c_out,), `<layer>/b` fp32."""
+    from redtail_tpu.quant.ptq import quantize_per_channel
+
+    flat = {}
+    for name, node in params.items():
+        w = np.asarray(jax.device_get(node["w"]), np.float32)
+        wq, scale = quantize_per_channel(w, axis=-1)
+        flat[f"{name}/w_q"] = wq
+        flat[f"{name}/w_scale"] = np.asarray(scale, np.float32)
+        flat[f"{name}/b"] = np.asarray(jax.device_get(node["b"]),
+                                       np.float32)
+    np.savez(path, **flat)
+
+
+def params_from_w8_npz(path, dtype=jnp.float32) -> Dict:
+    """Load a `params_to_w8_npz` artifact back into a serving tree."""
+    params: Dict = {}
+    with np.load(path) as data:
+        names = sorted({k.rsplit("/", 1)[0] for k in data.files})
+        for name in names:
+            w = (data[f"{name}/w_q"].astype(np.float32)
+                 * data[f"{name}/w_scale"])
+            params[name] = {"w": jnp.asarray(w, dtype),
+                            "b": jnp.asarray(data[f"{name}/b"], dtype)}
+    return params

@@ -22,6 +22,7 @@ from typing import Dict, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 
@@ -53,8 +54,12 @@ def trail_loss(logits, labels, *, ent_scale: float = 0.01,
 
 # -------------------------------------------------------------- augment
 
-HFLIP3_REMAP = jnp.array([2, 1, 0])
-HFLIP5_REMAP = jnp.array([4, 3, 2, 1, 0])
+# Plain numpy on purpose: a module-level `jnp.array` initializes the JAX
+# backend at IMPORT time, which pins the platform before callers can run
+# `jax.config.update("jax_platforms", ...)` (tests force CPU that way,
+# and it costs seconds of device bring-up just to import this module).
+HFLIP3_REMAP = np.array([2, 1, 0])
+HFLIP5_REMAP = np.array([4, 3, 2, 1, 0])
 
 
 def _rotate_bilinear(img, angle_rad):
@@ -114,9 +119,9 @@ def augment_sample(key, img, label, *, top_cut: float = 0.0,
     # mirror under a flip), all remapped with the same coin.
     do_flip = jax.random.bernoulli(k[4])
     if hflip_mode == "hflip3":
-        flipped_label = HFLIP3_REMAP[label]
+        flipped_label = jnp.asarray(HFLIP3_REMAP)[label]
     elif hflip_mode == "hflip5":
-        flipped_label = HFLIP5_REMAP[label]
+        flipped_label = jnp.asarray(HFLIP5_REMAP)[label]
     else:
         flipped_label = label
     img = jnp.where(do_flip, img[:, ::-1], img)

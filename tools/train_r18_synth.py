@@ -41,6 +41,9 @@ def main(argv=None) -> int:
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--n-train", type=int, default=48)
     ap.add_argument("--n-eval", type=int, default=8)
+    ap.add_argument("--ckpt-dir", default=None,
+                    help="resumable train-state dir (rerun the same "
+                         "command to continue toward --steps)")
     ap.add_argument("--d1-gate", type=float, default=0.02,
                     help="held-out D1 the run must reach")
     ap.add_argument("--rungs", action="store_true",
@@ -62,17 +65,19 @@ def main(argv=None) -> int:
         # varied per image so the net must CORRELATE, not regress a bias.
         train_root = make_synthetic_kitti(
             Path(td) / "train", n=args.n_train, hw=(h, w),
-            disp=(4, full_d - 8), seed=0)
+            disp=(4, full_d - 8), seed=0, octaves=3)
         eval_root = make_synthetic_kitti(
             Path(td) / "eval", n=args.n_eval, hw=(h, w),
-            disp=(4, full_d - 8), seed=1)
+            disp=(4, full_d - 8), seed=1, octaves=3)
         train_ds = KittiStereoDataset(train_root)
         eval_ds = KittiStereoDataset(eval_root)
 
         cfg = StereoTrainConfig(
             model="resnet18", crop_hw=(h, w), max_disp=args.max_disp,
             batch_size=args.batch, steps=args.steps, lr=args.lr,
-            warmup_steps=min(100, args.steps // 10), dtype=args.dtype)
+            warmup_steps=min(100, args.steps // 10), dtype=args.dtype,
+            ckpt_dir=args.ckpt_dir, ckpt_every=200 if args.ckpt_dir else 0,
+            resume=bool(args.ckpt_dir))
         state = train_stereo(cfg, train_ds, eval_dataset=eval_ds)
 
         from redtail_tpu.models import STEREO_SPECS
