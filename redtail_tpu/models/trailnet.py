@@ -199,7 +199,11 @@ def params_to_w8_npz(params: Dict, path) -> None:
         w = np.asarray(jax.device_get(node["w"]), np.float32)
         wq, scale = quantize_per_channel(w, axis=-1)
         flat[f"{name}/w_q"] = wq
-        flat[f"{name}/w_scale"] = np.asarray(scale, np.float32)
+        # quantize_per_channel returns keepdims scales; flatten so the
+        # artifact layout matches the documented (c_out,) contract (the
+        # load-path multiply broadcasts over the trailing channel axis
+        # either way, but external consumers read the documented shape)
+        flat[f"{name}/w_scale"] = np.asarray(scale, np.float32).reshape(-1)
         flat[f"{name}/b"] = np.asarray(jax.device_get(node["b"]),
                                        np.float32)
     np.savez(path, **flat)

@@ -131,10 +131,18 @@ def _mixed_accum_conv(window_strides, padding, lhs_dilation, dim_nums,
 def dilated_conv(x, w, *, window_strides, padding, dimension_numbers,
                  lhs_dilation=None, preferred_element_type=None,
                  precision=None):
-    """All conv call sites route here: plain `lax.conv_general_dilated`
+    """Stereo conv call sites route here: plain `lax.conv_general_dilated`
     when operand and accumulation dtypes agree, the differentiable
     `_mixed_accum_conv` custom_vjp twin when they differ (bf16 operands +
-    fp32 accumulation — the framework's serving/training numerics)."""
+    fp32 accumulation — the framework's serving/training numerics).
+
+    Scope notes: the mixed path defines only a VJP, so it is
+    reverse-mode-only — `jax.jvp`/`jacfwd` over a bf16-compute model
+    raises (training uses reverse mode exclusively). Coverage is the
+    stereo family (`ops/` + `models/stereo.py`); trailnet/caffe_net and
+    the packed2d/3d serving lowerings call `lax.conv_general_dilated`
+    with matching dtypes directly and would need routing through here
+    before a mixed-precision train step could differentiate them."""
     if (preferred_element_type is None
             or x.dtype == jnp.dtype(preferred_element_type)):
         return lax.conv_general_dilated(
