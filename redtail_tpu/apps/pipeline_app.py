@@ -55,6 +55,12 @@ def build_argparser():
                         "teleop override + DNN on/off buttons "
                         "(`joystickCallback:178-236`); skipped with a "
                         "warning when absent")
+    p.add_argument("--overlap", type=int, default=1,
+                   help="frames in flight per DNN node (default 1): "
+                   "dispatch frame N, publish frame N-1 under its true "
+                   "stamp — device compute and D2H transfer pipeline "
+                   "with host ingest instead of serializing behind a "
+                   "blocking fetch. 0 = synchronous")
     p.add_argument("--control-rate", type=float, default=20.0)
     p.add_argument("--duration", type=float, default=10.0)
     p.add_argument("--vehicle", default="drone",
@@ -157,11 +163,12 @@ def main(argv=None):
         sparams = load_stereo_params(args.stereo_checkpoint)
     else:
         sparams = init_stereo_params(spec)
-    stereo = StereoNode(spec, sparams, profiler=prof)
+    stereo = StereoNode(spec, sparams, profiler=prof, overlap=args.overlap)
     trailnet = TrailNetNode(
         load_trailnet(args.trailnet_prototxt,
                       caffemodel_path=args.trailnet_caffemodel)
-        if args.trailnet_prototxt else None, profiler=prof) \
+        if args.trailnet_prototxt else None, profiler=prof,
+        overlap=args.overlap) \
         if args.trailnet_prototxt or _default_prototxt_exists() else None
     yolo = None
     if args.yolo_rate > 0:
@@ -173,7 +180,7 @@ def main(argv=None):
             yolo = YoloNode(
                 CaffeNet(proto, load_caffemodel(args.yolo_caffemodel))
                 if args.yolo_caffemodel else CaffeNet(proto, seed=3),
-                profiler=prof)
+                profiler=prof, overlap=args.overlap)
 
     # --- controller
     vehicle = Drone() if args.vehicle == "drone" else APMRoverRC()
@@ -206,10 +213,15 @@ def main(argv=None):
     g.add_node("stereo", stereo, ["camera/left", "camera/right"],
                "stereo/disparity", max_rate_hz=30.0, sync_slop=0.1)
     if trailnet is not None:
-        def trail_stage(frame):
-            probs = trailnet(frame)
-            ctl.on_trailnet(probs)
-            return probs
+        from redtail_tpu.runtime.graph import Stamped
+
+        def trail_stage(frame, stamp=None):
+            out = trailnet(frame, stamp=stamp)
+            if out is not None:
+                ctl.on_trailnet(out.data if isinstance(out, Stamped)
+                                else out)
+            return out
+        trail_stage.needs_stamp = trailnet.needs_stamp
         g.add_node("trailnet", trail_stage, ["camera/left"],
                    "trails_dnn/network/output",
                    max_rate_hz=args.trailnet_rate)

@@ -33,6 +33,20 @@ class Message:
     seq: int
 
 
+@dataclass
+class Stamped:
+    """Stage result carrying its own source timestamp.
+
+    Overlapped (frames-in-flight) stages return the *previous* frame's
+    result; publishing it under the current frame's stamp would
+    under-report camera->output latency, so such stages wrap results in
+    ``Stamped`` and ``Node`` honours the carried stamp (the ROS analogue:
+    the reference stamped outputs with the source image's header stamp,
+    `caffe_ros.cpp:128-201`)."""
+    data: Any
+    stamp: float
+
+
 class Topic:
     """Single-slot latest-wins mailbox (ROS queue_size=1 semantics)."""
 
@@ -55,6 +69,13 @@ class Topic:
     def latest(self) -> Optional[Message]:
         with self._lock:
             return self._msg
+
+    @property
+    def count(self) -> int:
+        """Total messages ever published (the honest throughput counter
+        for overlapped stages, whose calls can return None)."""
+        with self._lock:
+            return self._seq
 
     def take(self, last_seq: int = 0) -> Optional[Message]:
         """Return the latest message if newer than ``last_seq``."""
@@ -141,7 +162,11 @@ class Node:
             for i, m in enumerate(msgs):
                 self._last_seqs[i] = m.seq
         try:
-            result = self.fn(*[m.data for m in msgs])
+            if getattr(self.fn, "needs_stamp", False):
+                result = self.fn(*[m.data for m in msgs],
+                                 stamp=msgs[0].stamp)
+            else:
+                result = self.fn(*[m.data for m in msgs])
         except Exception as e:  # node must keep spinning on stage errors,
             # but KeyboardInterrupt/SystemExit must propagate out of the
             # worker thread rather than be swallowed
@@ -150,7 +175,13 @@ class Node:
             return False
         self.processed += 1
         if self.output is not None and result is not None:
-            self.output.publish(result, stamp=msgs[0].stamp)
+            for r in (result if isinstance(result, list) else [result]):
+                # a microbatched stage returns several Stamped results
+                # at once; each publishes under its own source stamp
+                if isinstance(r, Stamped):
+                    self.output.publish(r.data, stamp=r.stamp)
+                else:
+                    self.output.publish(r, stamp=msgs[0].stamp)
         return True
 
     def _run(self, stop: threading.Event):

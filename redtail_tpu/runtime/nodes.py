@@ -12,13 +12,81 @@ output contracts mirror the reference topics:
 
 from __future__ import annotations
 
+import collections
+import time
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
+from redtail_tpu.runtime.graph import Stamped
 from redtail_tpu.runtime.profiler import StageProfiler
+
+
+class _OverlapMixin:
+    """Frames-in-flight machinery shared by the DNN serving nodes.
+
+    With ``overlap=N`` a node's call dispatches the current frame,
+    starts its async device->host copy, and blocks only for the result
+    dispatched N calls earlier — device compute and tunnel transfer
+    overlap the host's pack + dispatch of the frames in between. The
+    first N calls return None; afterwards each call returns
+    `graph.Stamped` result(s) under their TRUE source stamps.
+
+    The blocking fetch stays IN the node's own loop on purpose. On the
+    remote-chip tunnel every alternative was measured worse: a fully
+    synchronous node 7.9 fps, background fetcher pools 9-14 fps
+    (concurrent blocking fetches from extra threads thrash the link),
+    in-loop overlap=2 19.4 fps. One outstanding blocking op per stage
+    is this link's sweet spot; on chip-local hardware (µs transfers)
+    the fetch is free and overlap just hides dispatch latency.
+
+    ``microbatch=M`` (with overlap) amortizes the per-fetch round-trip
+    over M frames: frames accumulate host-side and dispatch as one
+    batch-M executable; a ready batch returns a LIST of `Stamped`
+    results (the graph publishes each under its own stamp). This is a
+    high-RTT-link serving mode — it trades up to M-1 frame periods of
+    latency for round-trip amortization; chip-local deployments keep
+    M=1 (batch>1 also measured slower on-device at flagship shapes,
+    see CLAUDE.md batch-collapse diagnosis)."""
+
+    def _init_overlap(self, overlap: int, microbatch: int = 1) -> None:
+        self.overlap = int(overlap)
+        self.microbatch = max(1, int(microbatch))
+        if self.microbatch > 1 and not self.overlap:
+            raise ValueError("microbatch requires overlap >= 1")
+        self.needs_stamp = self.overlap > 0
+        self._inflight = collections.deque()
+        self._batch = []  # (input(s), stamp) accumulating to microbatch
+
+    def _queue(self, out, metas) -> None:
+        """Queue a dispatched device batch; ``metas`` is the list of
+        per-frame meta tuples (stamp, ...)."""
+        try:
+            out.copy_to_host_async()  # best-effort early D2H start
+        except Exception:
+            pass
+        self._inflight.append((out, metas))
+
+    def _pop_ready(self):
+        """Blocking-pop the oldest batch once the queue exceeds
+        ``overlap``; returns (host_array, metas) or None."""
+        if len(self._inflight) <= self.overlap:
+            return None
+        out, metas = self._inflight.popleft()
+        return np.asarray(out), metas
+
+    def drain(self):
+        """Block until everything in flight is fetched and discard it
+        (warm-up / shutdown); also discards a partial microbatch. The
+        next call starts a fresh pipeline."""
+        self._batch.clear()
+        while self._inflight:
+            np.asarray(self._inflight.popleft()[0])
+
+    def close(self):
+        self.drain()
 
 
 
@@ -42,14 +110,15 @@ def _host_resize(x_u8: np.ndarray, hw, *, interpolation: str) -> np.ndarray:
                      for f in x_u8])
 
 
-class StereoNode:
+class StereoNode(_OverlapMixin):
     """Stereo disparity stage. ``fn(left_bgr_u8, right_bgr_u8) -> disp``."""
 
     def __init__(self, spec, params, *, dtype=jnp.bfloat16,
                  quantize: Optional[str] = None,
                  calib_frames=None,
                  profiler: Optional[StageProfiler] = None,
-                 device=None):
+                 device=None, overlap: int = 0, microbatch: int = 1,
+                 wire: str = "f32"):
         """``quantize='w8'`` stores conv weights as per-channel int8 and
         dequantizes once at load — the weight-only rung of the reference's
         FP32/FP16/INT8 ladder (4x smaller weights at rest; accuracy gated
@@ -63,7 +132,21 @@ class StereoNode:
         multi-chip analogue of the reference's one-ROS-process-per-DNN
         pipeline parallelism (SURVEY §2.4: stages pinned to devices,
         frames crossing via ICI).  Default: the runtime's default
-        device."""
+        device.
+
+        ``overlap`` / ``microbatch``: frames-in-flight pipelining and
+        round-trip amortization for high-RTT links — see
+        `_OverlapMixin`. The reference got the overlap effect from ROS
+        process isolation (each DNN node's GPU work overlapped the
+        others' CPU work).
+
+        ``wire``: disparity transport format. 'f32' (default) fetches
+        raw float32; 'u16' fetches fixed-point round(disp * 64) uint16
+        and converts host-side — half the device->host bytes at
+        1/64 px quantization (<= 1023.98 px), finer than the
+        reference's OWN published 16-bit PNG disparity format
+        (`stereo_dnn_ros_viz`/sample app wrote disp x 256 for
+        <= 255.99 px ranges, `sample_app/main.cpp:385-400`)."""
         from redtail_tpu.models import stereo_forward
 
         self.spec = spec
@@ -112,6 +195,10 @@ class StereoNode:
         # keeps the raw stem (no packed int8 kernel).
         self._s2d = use_s2d_stem() and quantize != "int8"
 
+        if wire not in ("f32", "u16"):
+            raise ValueError(f"unknown wire format {wire!r}")
+        self._wire = wire
+
         def run(params, left_in, right_in):
             def prep(x):
                 x = x.astype(jnp.float32)
@@ -125,6 +212,9 @@ class StereoNode:
             disp = stereo_forward(spec, params, prep(left_in), prep(right_in))
             if spec.corr:  # sigmoid-normalized -> pixels (x width)
                 disp = disp * w
+            if wire == "u16":
+                return jnp.clip(jnp.round(disp.astype(jnp.float32) * 64.0),
+                                0, 65535).astype(jnp.uint16)
             return disp.astype(jnp.float32)
 
         self._fn = jax.jit(run)
@@ -133,6 +223,7 @@ class StereoNode:
         if device is not None:
             params = jax.device_put(params, device)
         self._params = params
+        self._init_overlap(overlap, microbatch)
 
     def _put(self, x):
         return jax.device_put(jnp.asarray(x), self._device) \
@@ -149,7 +240,7 @@ class StereoNode:
         x_u8 = _host_resize(x_u8, self._hw, interpolation="area")
         return native.pack_s2d(x_u8, swap_rb=True)
 
-    def __call__(self, left_u8, right_u8) -> np.ndarray:
+    def __call__(self, left_u8, right_u8, stamp: Optional[float] = None):
         if left_u8.ndim == 3:
             left_u8, right_u8 = left_u8[None], right_u8[None]
         if not self._s2d:
@@ -161,10 +252,35 @@ class StereoNode:
             with self.profiler.stage(f"stereo/{self.spec.name}/pack"):
                 left_u8 = self._host_prep(np.asarray(left_u8))
                 right_u8 = self._host_prep(np.asarray(right_u8))
-        with self.profiler.stage(f"stereo/{self.spec.name}"):
-            out = np.asarray(self._fn(self._params, self._put(left_u8),
-                                      self._put(right_u8)))
-        return out[0]
+        if not self.overlap:
+            with self.profiler.stage(f"stereo/{self.spec.name}"):
+                out = np.asarray(self._fn(self._params, self._put(left_u8),
+                                          self._put(right_u8)))
+            return self._from_wire(out[0])
+        self._batch.append((left_u8, right_u8,
+                            time.monotonic() if stamp is None else stamp))
+        if len(self._batch) < self.microbatch:
+            return None
+        with self.profiler.stage(f"stereo/{self.spec.name}/dispatch"):
+            lp = np.concatenate([b[0] for b in self._batch])
+            rp = np.concatenate([b[1] for b in self._batch])
+            stamps = [b[2] for b in self._batch]
+            self._batch.clear()
+            self._queue(self._fn(self._params, self._put(lp),
+                                 self._put(rp)), stamps)
+        with self.profiler.stage(f"stereo/{self.spec.name}/fetch"):
+            got = self._pop_ready()
+        if got is None:
+            return None
+        res, stamps = got
+        outs = [Stamped(self._from_wire(res[i]), s)
+                for i, s in enumerate(stamps)]
+        return outs if len(outs) > 1 else outs[0]
+
+    def _from_wire(self, disp: np.ndarray) -> np.ndarray:
+        if self._wire == "u16":
+            return disp.astype(np.float32) / 64.0
+        return disp
 
 
 class VizNode:
@@ -206,11 +322,11 @@ class VizNode:
         return None
 
 
-class TrailNetNode:
+class TrailNetNode(_OverlapMixin):
     """TrailNet stage: BGR uint8 frame -> 6 probabilities."""
 
     def __init__(self, net=None, *, profiler: Optional[StageProfiler] = None,
-                 device=None):
+                 device=None, overlap: int = 0, microbatch: int = 1):
         from redtail_tpu.models.trailnet import INPUT_HW, load_trailnet
 
         self.net = net if net is not None else load_trailnet()
@@ -218,6 +334,7 @@ class TrailNetNode:
         self._device = device
         h, w = INPUT_HW
         self._hw = (h, w)
+        self._init_overlap(overlap, microbatch)
 
         def run(frame_u8):
             x = frame_u8.astype(jnp.float32)
@@ -231,28 +348,50 @@ class TrailNetNode:
 
         self._fn = jax.jit(run)
 
-    def __call__(self, frame_u8) -> np.ndarray:
-        frame_u8 = _host_resize(np.asarray(frame_u8), self._hw,
-                                interpolation="cubic")
-        x = jnp.asarray(frame_u8)
-        if self._device is not None:
-            x = jax.device_put(x, self._device)
-        with self.profiler.stage("trailnet"):
-            return np.asarray(self._fn(x))[0]
+    def __call__(self, frame_u8, stamp: Optional[float] = None):
+        with self.profiler.stage("trailnet/pack"):
+            frame_u8 = _host_resize(np.asarray(frame_u8), self._hw,
+                                    interpolation="cubic")
+        if not self.overlap:
+            x = jnp.asarray(frame_u8)
+            if self._device is not None:
+                x = jax.device_put(x, self._device)
+            with self.profiler.stage("trailnet"):
+                return np.asarray(self._fn(x))[0]
+        self._batch.append((frame_u8,
+                            time.monotonic() if stamp is None else stamp))
+        if len(self._batch) < self.microbatch:
+            return None
+        with self.profiler.stage("trailnet/dispatch"):
+            x = np.stack([b[0] for b in self._batch])
+            stamps = [b[1] for b in self._batch]
+            self._batch.clear()
+            xd = jnp.asarray(x)
+            if self._device is not None:
+                xd = jax.device_put(xd, self._device)
+            self._queue(self._fn(xd), stamps)
+        with self.profiler.stage("trailnet/fetch"):
+            got = self._pop_ready()
+        if got is None:
+            return None
+        res, stamps = got
+        outs = [Stamped(res[i], s) for i, s in enumerate(stamps)]
+        return outs if len(outs) > 1 else outs[0]
 
 
-class YoloNode:
+class YoloNode(_OverlapMixin):
     """YOLO stage: BGR uint8 frame -> (n, 6) detection matrix."""
 
     def __init__(self, net, *, prob_threshold: float = 0.15,
                  iou_threshold: float = 0.2,
                  profiler: Optional[StageProfiler] = None,
-                 device=None):
+                 device=None, overlap: int = 0):
         self.net = net
         self.prob_threshold = prob_threshold
         self.iou_threshold = iou_threshold
         self.profiler = profiler or StageProfiler()
         self._device = device
+        self._init_overlap(overlap)
 
         def run(frame_u8):
             x = frame_u8.astype(jnp.float32)
@@ -264,7 +403,7 @@ class YoloNode:
 
         self._fn = jax.jit(run)
 
-    def __call__(self, frame_u8) -> np.ndarray:
+    def __call__(self, frame_u8, stamp: Optional[float] = None):
         from redtail_tpu.models import yolo
 
         frame_u8 = np.asarray(frame_u8)
@@ -275,9 +414,23 @@ class YoloNode:
         x = jnp.asarray(frame_u8)
         if self._device is not None:
             x = jax.device_put(x, self._device)
-        with self.profiler.stage("yolo/dnn"):
-            raw = np.asarray(self._fn(x))[0]
+        if not self.overlap:
+            with self.profiler.stage("yolo/dnn"):
+                raw = np.asarray(self._fn(x))[0]
+            with self.profiler.stage("yolo/postproc"):
+                return yolo.postprocess(raw, w, h,
+                                        prob_threshold=self.prob_threshold,
+                                        iou_threshold=self.iou_threshold)
+        with self.profiler.stage("yolo/dispatch"):
+            self._queue(self._fn(x), [(w, h, time.monotonic()
+                                       if stamp is None else stamp)])
+        with self.profiler.stage("yolo/fetch"):
+            got = self._pop_ready()
+        if got is None:
+            return None
+        raw, ((pw, ph, pstamp),) = got
         with self.profiler.stage("yolo/postproc"):
-            return yolo.postprocess(raw, w, h,
+            dets = yolo.postprocess(raw[0], pw, ph,
                                     prob_threshold=self.prob_threshold,
                                     iou_threshold=self.iou_threshold)
+        return Stamped(dets, pstamp)

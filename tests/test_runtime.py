@@ -535,3 +535,112 @@ def test_pipeline_app_rejects_single_sided_video():
     from redtail_tpu.apps.pipeline_app import main
     with _pytest.raises(SystemExit, match="together"):
         main(["--video-left", "l.avi", "--duration", "0.1"])
+
+
+def test_overlapped_stereo_node_shifts_and_stamps():
+    """In-loop overlap=N: call k returns frame k-N's result under frame
+    k-N's TRUE stamp (`graph.Stamped`), bitwise-equal to the synchronous
+    path (VERDICT r4 item 1b)."""
+    from redtail_tpu.models import STEREO_SPECS, init_stereo_params
+    from redtail_tpu.runtime.graph import Stamped
+    from redtail_tpu.runtime.nodes import StereoNode
+
+    spec = dataclasses.replace(STEREO_SPECS["resnet18_2d"],
+                               input_hw=(64, 128), max_disp=8)
+    params = init_stereo_params(spec)
+    sync = StereoNode(spec, params)
+    node = StereoNode(spec, params, overlap=1)
+    assert node.needs_stamp and not sync.needs_stamp
+
+    rs = np.random.RandomState(0)
+    frames = [(rs.randint(0, 256, (64, 128, 3), np.uint8),
+               rs.randint(0, 256, (64, 128, 3), np.uint8))
+              for _ in range(3)]
+    want = [sync(l, r) for l, r in frames]
+
+    assert node(*frames[0], stamp=10.0) is None
+    out1 = node(*frames[1], stamp=11.0)
+    assert isinstance(out1, Stamped) and out1.stamp == 10.0
+    np.testing.assert_array_equal(out1.data, want[0])
+    out2 = node(*frames[2], stamp=12.0)
+    assert out2.stamp == 11.0
+    np.testing.assert_array_equal(out2.data, want[1])
+    node.drain()
+    assert not node._inflight
+
+
+def test_microbatched_stereo_node_multi_publish():
+    """microbatch=2: two frames dispatch as ONE batch-2 executable and
+    come back as a list of per-frame `Stamped` results matching the
+    synchronous path — the round-trip-amortization serving mode."""
+    from redtail_tpu.models import STEREO_SPECS, init_stereo_params
+    from redtail_tpu.runtime.nodes import StereoNode
+
+    spec = dataclasses.replace(STEREO_SPECS["resnet18_2d"],
+                               input_hw=(64, 128), max_disp=8)
+    params = init_stereo_params(spec)
+    sync = StereoNode(spec, params)
+    node = StereoNode(spec, params, overlap=1, microbatch=2)
+
+    rs = np.random.RandomState(1)
+    frames = [(rs.randint(0, 256, (64, 128, 3), np.uint8),
+               rs.randint(0, 256, (64, 128, 3), np.uint8))
+              for _ in range(4)]
+    want = [sync(l, r) for l, r in frames]
+
+    assert node(*frames[0], stamp=0.0) is None   # batch filling
+    assert node(*frames[1], stamp=1.0) is None   # dispatched, in flight
+    assert node(*frames[2], stamp=2.0) is None   # batch filling
+    outs = node(*frames[3], stamp=3.0)           # second dispatch pops 1st
+    assert isinstance(outs, list) and len(outs) == 2
+    assert [o.stamp for o in outs] == [0.0, 1.0]
+    np.testing.assert_array_equal(outs[0].data, want[0])
+    np.testing.assert_array_equal(outs[1].data, want[1])
+    node.drain()
+
+
+def test_stereo_node_u16_wire_quantization():
+    """wire='u16' transports round(disp*64) uint16 and restores float32
+    host-side: max |err| <= 1/128 px vs the f32 wire."""
+    from redtail_tpu.models import STEREO_SPECS, init_stereo_params
+    from redtail_tpu.runtime.nodes import StereoNode
+
+    spec = dataclasses.replace(STEREO_SPECS["resnet18_2d"],
+                               input_hw=(64, 128), max_disp=8)
+    params = init_stereo_params(spec)
+    f32 = StereoNode(spec, params)
+    u16 = StereoNode(spec, params, wire="u16")
+
+    rs = np.random.RandomState(2)
+    l = rs.randint(0, 256, (64, 128, 3), np.uint8)
+    r = rs.randint(0, 256, (64, 128, 3), np.uint8)
+    a, b = f32(l, r), u16(l, r)
+    assert b.dtype == np.float32
+    assert np.abs(a - b).max() <= 1.0 / 128.0 + 1e-6
+
+
+def test_stamped_result_publishes_carried_stamp():
+    """Node honours `Stamped` results and forwards stamps to stages
+    declaring `needs_stamp` — overlapped stages publish under the TRUE
+    source stamp, so camera->output latency cannot be under-reported."""
+    from redtail_tpu.runtime.graph import Node, Stamped, Topic
+
+    src, dst = Topic("in"), Topic("out")
+    seen = []
+
+    def stage(x, stamp=None):
+        seen.append(stamp)
+        if len(seen) == 1:
+            return None
+        return Stamped(x + 1, stamp - 1.0)
+    stage.needs_stamp = True
+
+    node = Node("s", stage, [src], dst, max_rate_hz=1000)
+    src.publish(1, stamp=100.0)
+    assert node.step_once()
+    assert dst.latest() is None  # first call returned None -> no publish
+    src.publish(2, stamp=200.0)
+    assert node.step_once()
+    assert seen == [100.0, 200.0]
+    assert dst.latest().data == 3
+    assert dst.latest().stamp == 199.0  # carried, not the current frame's
