@@ -453,6 +453,21 @@ def bench_train_step():
     fp32 = step_ms(None, 3, 13)
     emit("nvtiny_train_step_bf16_ms", bf16, "ms/step", fp32 / bf16)
 
+    # Same measurement at FLAGSHIP scale (resnet18_2d, the correlation
+    # model family) — mixed-precision training generalizes beyond the
+    # 3D-cost-volume family (VERDICT r4 item 8). vs_baseline is again
+    # the fp32/bf16 step speedup.
+    _release_device_memory()
+    spec = dataclasses.replace(STEREO_SPECS["resnet18_2d"],
+                               input_hw=(160, 512))
+    disp = jnp.asarray(rs.rand(4, 160, 512) * spec.full_max_disp,
+                       jnp.float32)
+    bf16_f = step_ms(jnp.bfloat16, 3, 13)
+    _release_device_memory()
+    fp32_f = step_ms(None, 3, 13)
+    emit("resnet18_2d_train_step_bf16_ms", bf16_f, "ms/step",
+         fp32_f / bf16_f)
+
 
 def _release_device_memory():
     """Drop each case's live buffers + cached executables before the next
