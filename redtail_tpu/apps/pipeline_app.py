@@ -61,6 +61,18 @@ def build_argparser():
                    "stamp — device compute and D2H transfer pipeline "
                    "with host ingest instead of serializing behind a "
                    "blocking fetch. 0 = synchronous")
+    p.add_argument("--microbatch", type=int, default=1,
+                   help="frames per DNN dispatch (default 1): amortizes "
+                   "the device round-trip over M frames on high-RTT "
+                   "links at up to M-1 frame periods of extra latency; "
+                   "results still publish under their true per-frame "
+                   "stamps. Requires --overlap >= 1. Chip-local "
+                   "deployments keep 1")
+    p.add_argument("--wire", default="f32", choices=["f32", "u16"],
+                   help="disparity device->host transport: 'u16' ships "
+                   "fixed-point round(disp*64) uint16 — half the fetch "
+                   "bytes at 1/64 px quantization (the reference's own "
+                   "PNG disparity format was 16-bit fixed point)")
     p.add_argument("--control-rate", type=float, default=20.0)
     p.add_argument("--duration", type=float, default=10.0)
     p.add_argument("--vehicle", default="drone",
@@ -163,12 +175,13 @@ def main(argv=None):
         sparams = load_stereo_params(args.stereo_checkpoint)
     else:
         sparams = init_stereo_params(spec)
-    stereo = StereoNode(spec, sparams, profiler=prof, overlap=args.overlap)
+    stereo = StereoNode(spec, sparams, profiler=prof, overlap=args.overlap,
+                        microbatch=args.microbatch, wire=args.wire)
     trailnet = TrailNetNode(
         load_trailnet(args.trailnet_prototxt,
                       caffemodel_path=args.trailnet_caffemodel)
         if args.trailnet_prototxt else None, profiler=prof,
-        overlap=args.overlap) \
+        overlap=args.overlap, microbatch=args.microbatch) \
         if args.trailnet_prototxt or _default_prototxt_exists() else None
     yolo = None
     if args.yolo_rate > 0:
@@ -217,9 +230,9 @@ def main(argv=None):
 
         def trail_stage(frame, stamp=None):
             out = trailnet(frame, stamp=stamp)
-            if out is not None:
-                ctl.on_trailnet(out.data if isinstance(out, Stamped)
-                                else out)
+            for r in (out if isinstance(out, list)
+                      else [out] if out is not None else []):
+                ctl.on_trailnet(r.data if isinstance(r, Stamped) else r)
             return out
         trail_stage.needs_stamp = trailnet.needs_stamp
         g.add_node("trailnet", trail_stage, ["camera/left"],
@@ -286,11 +299,16 @@ def main(argv=None):
     # `tensor_net.cpp:194-213`); `--duration` then measures steady state.
     dummy = np.zeros(shape, np.uint8)
     t0 = time.monotonic()
-    stereo(dummy, dummy)
-    if trailnet is not None:
-        trailnet(dummy)
-    if yolo is not None:
-        yolo(dummy)
+    # An overlapped/microbatched node only dispatches (and therefore
+    # only compiles) once a full batch is queued and only fetches once
+    # the in-flight queue exceeds `overlap` — tick enough times to force
+    # both, then drain so the run starts with empty queues.
+    for node in (stereo, trailnet, yolo):
+        if node is None:
+            continue
+        for _ in range(node.microbatch * (node.overlap + 1)):
+            node(dummy, dummy) if node is stereo else node(dummy)
+        node.drain()
     print(f"engines ready in {time.monotonic() - t0:.1f}s", file=sys.stderr)
 
     g.start()

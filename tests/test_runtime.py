@@ -644,3 +644,21 @@ def test_stamped_result_publishes_carried_stamp():
     assert seen == [100.0, 200.0]
     assert dst.latest().data == 3
     assert dst.latest().stamp == 199.0  # carried, not the current frame's
+
+
+def test_pipeline_app_serving_knobs_parse():
+    """--overlap/--microbatch/--wire are user-reachable serving knobs
+    (not bench-only); microbatch without overlap is rejected at node
+    construction."""
+    from redtail_tpu.apps.pipeline_app import build_argparser
+    from redtail_tpu.models import STEREO_SPECS, init_stereo_params
+    from redtail_tpu.runtime.nodes import StereoNode
+
+    args = build_argparser().parse_args(
+        ["--overlap", "2", "--microbatch", "3", "--wire", "u16"])
+    assert (args.overlap, args.microbatch, args.wire) == (2, 3, "u16")
+
+    spec = dataclasses.replace(STEREO_SPECS["resnet18_2d"],
+                               input_hw=(64, 128), max_disp=8)
+    with pytest.raises(ValueError, match="microbatch requires overlap"):
+        StereoNode(spec, init_stereo_params(spec), overlap=0, microbatch=2)
