@@ -68,6 +68,13 @@ def build_argparser():
                    "results still publish under their true per-frame "
                    "stamps. Requires --overlap >= 1. Chip-local "
                    "deployments keep 1")
+    p.add_argument("--yolo-overlap", type=int, default=0,
+                   help="frames in flight for the YOLO node (default 0 "
+                   "= synchronous): detections feed the person-stop "
+                   "safety interlock, where a frame of staleness is a "
+                   "full yolo period (~1 s at --yolo-rate 1) of delayed "
+                   "reaction — keep synchronous unless the link RTT "
+                   "actually starves the 1 Hz contract")
     p.add_argument("--wire", default="f32", choices=["f32", "u16"],
                    help="disparity device->host transport: 'u16' ships "
                    "fixed-point round(disp*64) uint16 — half the fetch "
@@ -193,7 +200,7 @@ def main(argv=None):
             yolo = YoloNode(
                 CaffeNet(proto, load_caffemodel(args.yolo_caffemodel))
                 if args.yolo_caffemodel else CaffeNet(proto, seed=3),
-                profiler=prof, overlap=args.overlap)
+                profiler=prof, overlap=args.yolo_overlap)
 
     # --- controller
     vehicle = Drone() if args.vehicle == "drone" else APMRoverRC()
@@ -299,17 +306,13 @@ def main(argv=None):
     # `tensor_net.cpp:194-213`); `--duration` then measures steady state.
     dummy = np.zeros(shape, np.uint8)
     t0 = time.monotonic()
-    # An overlapped/microbatched node only dispatches (and therefore
-    # only compiles) once a full batch is queued and only fetches once
-    # the in-flight queue exceeds `overlap` — tick enough times to force
-    # both, then drain so the run starts with empty queues.
-    for node in (stereo, trailnet, yolo):
-        if node is None:
-            continue
-        for _ in range(node.microbatch * (node.overlap + 1)):
-            node(dummy, dummy) if node is stereo else node(dummy)
-        node.drain()
+    stereo.warmup(dummy, dummy)
+    if trailnet is not None:
+        trailnet.warmup(dummy)
+    if yolo is not None:
+        yolo.warmup(dummy)
     print(f"engines ready in {time.monotonic() - t0:.1f}s", file=sys.stderr)
+    prof.reset()  # drop warm-up samples (compiles land in 'dispatch')
 
     g.start()
     src_l.start()
@@ -341,7 +344,12 @@ def main(argv=None):
         fcu_stop()
 
     print(prof.report(), file=sys.stderr)
-    stats = {name: node.processed for name, node in g.nodes.items()}
+    # Publishes (topic seq), not node ticks: an overlapped stage's tick
+    # can return None (batch filling / result in flight), so `processed`
+    # would overcount actual output frames.
+    stats = {name: (node.output.count if node.output is not None
+                    else node.processed)
+             for name, node in g.nodes.items()}
     summary = {"frames": stats, "ai_score": ctl.ai_score,
                "stop_events": ctl.stop_events,
                "dnn_active": ctl.use_dnn,

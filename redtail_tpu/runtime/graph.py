@@ -175,13 +175,19 @@ class Node:
             return False
         self.processed += 1
         if self.output is not None and result is not None:
-            for r in (result if isinstance(result, list) else [result]):
-                # a microbatched stage returns several Stamped results
-                # at once; each publishes under its own source stamp
-                if isinstance(r, Stamped):
+            # A microbatched stage returns a LIST of Stamped results;
+            # each publishes under its own source stamp. Only a list
+            # whose every element is Stamped is treated that way — a
+            # stage whose natural payload is a plain list publishes it
+            # as one message, not exploded per element.
+            if (isinstance(result, list) and result
+                    and all(isinstance(r, Stamped) for r in result)):
+                for r in result:
                     self.output.publish(r.data, stamp=r.stamp)
-                else:
-                    self.output.publish(r, stamp=msgs[0].stamp)
+            elif isinstance(result, Stamped):
+                self.output.publish(result.data, stamp=result.stamp)
+            else:
+                self.output.publish(result, stamp=msgs[0].stamp)
         return True
 
     def _run(self, stop: threading.Event):

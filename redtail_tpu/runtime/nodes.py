@@ -53,12 +53,25 @@ class _OverlapMixin:
 
     def _init_overlap(self, overlap: int, microbatch: int = 1) -> None:
         self.overlap = int(overlap)
+        if self.overlap < 0:
+            raise ValueError(f"overlap must be >= 0, got {overlap}")
         self.microbatch = max(1, int(microbatch))
         if self.microbatch > 1 and not self.overlap:
             raise ValueError("microbatch requires overlap >= 1")
         self.needs_stamp = self.overlap > 0
         self._inflight = collections.deque()
         self._batch = []  # (input(s), stamp) accumulating to microbatch
+
+    def warmup(self, *inputs) -> None:
+        """Compile + exercise every executable this serving config uses,
+        then reset to empty queues. An overlapped/microbatched node only
+        dispatches (compiles) once a full batch queues and only fetches
+        once the in-flight queue exceeds ``overlap`` — tick
+        microbatch*(overlap+1) times to force both, then drain.
+        Synchronous nodes (overlap=0) get one plain call."""
+        for _ in range(self.microbatch * (self.overlap + 1)):
+            self(*inputs)
+        self.drain()
 
     def _queue(self, out, metas) -> None:
         """Queue a dispatched device batch; ``metas`` is the list of
@@ -226,7 +239,10 @@ class StereoNode(_OverlapMixin):
         self._init_overlap(overlap, microbatch)
 
     def _put(self, x):
-        return jax.device_put(jnp.asarray(x), self._device) \
+        # device_put straight from host memory: uploading via
+        # jnp.asarray first would land on the default device and then
+        # ICI-copy to the pinned one (double transfer per frame).
+        return jax.device_put(x, self._device) \
             if self._device is not None else jnp.asarray(x)
 
     def _host_prep(self, x_u8):
@@ -353,9 +369,8 @@ class TrailNetNode(_OverlapMixin):
             frame_u8 = _host_resize(np.asarray(frame_u8), self._hw,
                                     interpolation="cubic")
         if not self.overlap:
-            x = jnp.asarray(frame_u8)
-            if self._device is not None:
-                x = jax.device_put(x, self._device)
+            x = jnp.asarray(frame_u8) if self._device is None \
+                else jax.device_put(frame_u8, self._device)
             with self.profiler.stage("trailnet"):
                 return np.asarray(self._fn(x))[0]
         self._batch.append((frame_u8,
@@ -366,9 +381,8 @@ class TrailNetNode(_OverlapMixin):
             x = np.stack([b[0] for b in self._batch])
             stamps = [b[1] for b in self._batch]
             self._batch.clear()
-            xd = jnp.asarray(x)
-            if self._device is not None:
-                xd = jax.device_put(xd, self._device)
+            xd = jnp.asarray(x) if self._device is None \
+                else jax.device_put(x, self._device)
             self._queue(self._fn(xd), stamps)
         with self.profiler.stage("trailnet/fetch"):
             got = self._pop_ready()
@@ -411,9 +425,8 @@ class YoloNode(_OverlapMixin):
             else frame_u8.shape[1:3]
         frame_u8 = _host_resize(frame_u8, (448, 448),
                                 interpolation="cubic")
-        x = jnp.asarray(frame_u8)
-        if self._device is not None:
-            x = jax.device_put(x, self._device)
+        x = jnp.asarray(frame_u8) if self._device is None \
+            else jax.device_put(frame_u8, self._device)
         if not self.overlap:
             with self.profiler.stage("yolo/dnn"):
                 raw = np.asarray(self._fn(x))[0]

@@ -662,3 +662,54 @@ def test_pipeline_app_serving_knobs_parse():
                                input_hw=(64, 128), max_disp=8)
     with pytest.raises(ValueError, match="microbatch requires overlap"):
         StereoNode(spec, init_stereo_params(spec), overlap=0, microbatch=2)
+
+
+def test_negative_overlap_rejected():
+    """overlap < 0 must raise, not silently disable true-stamp
+    publishing while still queueing."""
+    from redtail_tpu.models import STEREO_SPECS, init_stereo_params
+    from redtail_tpu.runtime.nodes import StereoNode
+
+    spec = dataclasses.replace(STEREO_SPECS["resnet18_2d"],
+                               input_hw=(64, 128), max_disp=8)
+    with pytest.raises(ValueError, match="overlap must be >= 0"):
+        StereoNode(spec, init_stereo_params(spec), overlap=-1)
+
+
+def test_plain_list_result_publishes_as_one_message():
+    """Only a list of Stamped results is exploded per-frame; a stage
+    whose natural payload IS a list publishes it as one message."""
+    from redtail_tpu.runtime.graph import Node, Stamped, Topic
+
+    src, dst = Topic("in"), Topic("out")
+    node = Node("s", lambda x: [x, x + 1], [src], dst, max_rate_hz=1000)
+    src.publish(1, stamp=5.0)
+    assert node.step_once()
+    assert dst.count == 1
+    assert dst.latest().data == [1, 2] and dst.latest().stamp == 5.0
+
+    # ... while a list of Stamped results still explodes per-frame.
+    node2 = Node("m", lambda x: [Stamped(x, 1.0), Stamped(x + 1, 2.0)],
+                 [src], dst, max_rate_hz=1000)
+    src.publish(7, stamp=9.0)
+    assert node2.step_once()
+    assert dst.count == 3
+    assert dst.latest().data == 8 and dst.latest().stamp == 2.0
+
+
+def test_overlap_warmup_compiles_and_resets():
+    """warmup() ticks microbatch*(overlap+1) times (forces both the
+    batch-M compile and a blocking fetch) and leaves empty queues."""
+    from redtail_tpu.models import STEREO_SPECS, init_stereo_params
+    from redtail_tpu.runtime.nodes import StereoNode
+
+    spec = dataclasses.replace(STEREO_SPECS["resnet18_2d"],
+                               input_hw=(64, 128), max_disp=8)
+    node = StereoNode(spec, init_stereo_params(spec), overlap=1,
+                      microbatch=2)
+    dummy = np.zeros((64, 128, 3), np.uint8)
+    node.warmup(dummy, dummy)
+    assert not node._inflight and not node._batch
+    # first post-warmup call starts a fresh pipeline
+    assert node(dummy, dummy, stamp=0.0) is None
+    node.drain()
