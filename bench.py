@@ -246,13 +246,13 @@ def bench_pipeline(duration=20.0, camera_hz=30.0):
     np.asarray(_tiny(jnp.asarray(tframe)))
     np.asarray(_tiny(jnp.asarray(yframe)))
     t0 = time.perf_counter()
-    n_probe = 8
-    for i in range(n_probe):
+    n_probe = 15  # x2 camera frames/iteration = 30 frames: exactly one
+    for i in range(n_probe):  # YOLO frame at the 1 Hz / 30 Hz share
         a = jnp.asarray(pair + np.uint8(i))   # fresh buffers: real H2D
         b = jnp.asarray(pair + np.uint8(i + 1))
         np.asarray(_tiny(jnp.asarray(tframe + np.uint8(i))))
         np.asarray(_tiny(jnp.asarray(tframe + np.uint8(i + 1))))
-        if i % 15 == 0:  # YOLO at 1 Hz = one frame per 30
+        if i == 0:
             np.asarray(_tiny(jnp.asarray(yframe + np.uint8(i))))
         np.asarray(_probe(a, b, sink))
     ceiling_fps = 2.0 * n_probe / (time.perf_counter() - t0)
@@ -301,6 +301,9 @@ def bench_pipeline(duration=20.0, camera_hz=30.0):
     ctl.step()
     ctl.on_joystick(JoyCommand(dnn_on=True))
 
+    # retain the microbatch burst so every published disparity stays
+    # observable (take_since); latest-wins consumers unaffected
+    g.topic("stereo/disparity", history=2)
     g.add_node("stereo", stereo, ["camera/left", "camera/right"],
                "stereo/disparity", max_rate_hz=camera_hz, sync_slop=0.1)
     if trailnet is not None:

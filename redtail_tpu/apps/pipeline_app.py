@@ -230,6 +230,10 @@ def main(argv=None):
         ctl.on_joystick(JoyCommand(dnn_on=True))
 
     # --- graph wiring (everything.launch topology)
+    # microbatched stages publish M results back-to-back; retain the
+    # burst so every frame stays observable to take_since() consumers
+    # (latest-wins subscribers like the controller are unaffected)
+    g.topic("stereo/disparity", history=args.microbatch)
     g.add_node("stereo", stereo, ["camera/left", "camera/right"],
                "stereo/disparity", max_rate_hz=30.0, sync_slop=0.1)
     if trailnet is not None:
@@ -321,6 +325,7 @@ def main(argv=None):
     try:
         deadline = time.monotonic() + args.duration
         injected = False
+        injected_dets = 0
         while time.monotonic() < deadline:
             if (args.demo_person_stop is not None and not injected
                     and time.monotonic() >= deadline - args.duration
@@ -333,6 +338,7 @@ def main(argv=None):
                                np.float32)
                 g.topic("object_dnn/network/output").publish(det)
                 injected = True
+                injected_dets = 1
             time.sleep(0.05)
     finally:
         src_l.stop()
@@ -346,10 +352,14 @@ def main(argv=None):
     print(prof.report(), file=sys.stderr)
     # Publishes (topic seq), not node ticks: an overlapped stage's tick
     # can return None (batch filling / result in flight), so `processed`
-    # would overcount actual output frames.
+    # would overcount actual output frames. The --demo-person-stop
+    # injection rides the yolo output topic — subtract it so the yolo
+    # count is frames the stage actually produced.
     stats = {name: (node.output.count if node.output is not None
                     else node.processed)
              for name, node in g.nodes.items()}
+    if "yolo" in stats:
+        stats["yolo"] -= injected_dets
     summary = {"frames": stats, "ai_score": ctl.ai_score,
                "stop_events": ctl.stop_events,
                "dnn_active": ctl.use_dnn,

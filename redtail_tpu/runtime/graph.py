@@ -8,8 +8,9 @@ process and one chip, frames stay device-resident between stages, and the
 "transport" is a mutex-guarded latest-wins slot per topic.
 
 Components:
-- ``Topic``: single-slot latest-wins mailbox with monotonically increasing
-  sequence numbers and timestamps.
+- ``Topic``: latest-wins mailbox (single-slot by default; optional bounded
+  history so microbatch result bursts stay fully observable) with
+  monotonically increasing sequence numbers and timestamps.
 - ``Node``: a rate-limited worker thread pulling its subscribed topics and
   publishing results (the `spin()` loop of each reference node).
 - ``ApproxTimeSync``: pairs messages from two topics whose timestamps
@@ -20,6 +21,7 @@ Components:
 
 from __future__ import annotations
 
+import collections
 import threading
 import time
 from dataclasses import dataclass, field
@@ -48,27 +50,42 @@ class Stamped:
 
 
 class Topic:
-    """Single-slot latest-wins mailbox (ROS queue_size=1 semantics)."""
+    """Latest-wins mailbox (ROS queue_size=1 semantics by default).
 
-    def __init__(self, name: str):
+    ``history > 1`` keeps a bounded ring of the most recent messages so
+    a burst — e.g. a microbatched stage publishing M results
+    back-to-back — stays fully observable: latest-wins consumers
+    (``take``) behave exactly as before, while a consumer that needs
+    every frame (a recorder, an evaluation sink) drains the ring with
+    ``take_since``."""
+
+    def __init__(self, name: str, history: int = 1):
         self.name = name
         self._lock = threading.Lock()
-        self._msg: Optional[Message] = None
+        self._msgs: "collections.deque[Message]" = \
+            collections.deque(maxlen=max(1, int(history)))
         self._seq = 0
         self._event = threading.Event()
+
+    def set_history(self, history: int) -> None:
+        """Grow (never shrink) the retained-message ring."""
+        with self._lock:
+            if int(history) > (self._msgs.maxlen or 1):
+                self._msgs = collections.deque(
+                    self._msgs, maxlen=int(history))
 
     def publish(self, data: Any, stamp: Optional[float] = None) -> Message:
         with self._lock:
             self._seq += 1
             msg = Message(data, time.monotonic() if stamp is None else stamp,
                           self._seq)
-            self._msg = msg
+            self._msgs.append(msg)
         self._event.set()
         return msg
 
     def latest(self) -> Optional[Message]:
         with self._lock:
-            return self._msg
+            return self._msgs[-1] if self._msgs else None
 
     @property
     def count(self) -> int:
@@ -80,9 +97,16 @@ class Topic:
     def take(self, last_seq: int = 0) -> Optional[Message]:
         """Return the latest message if newer than ``last_seq``."""
         with self._lock:
-            if self._msg is not None and self._msg.seq > last_seq:
-                return self._msg
+            if self._msgs and self._msgs[-1].seq > last_seq:
+                return self._msgs[-1]
             return None
+
+    def take_since(self, last_seq: int = 0) -> List[Message]:
+        """Every retained message newer than ``last_seq``, oldest first
+        (at most ``history`` are retained — a slow consumer observes the
+        drop as a seq gap)."""
+        with self._lock:
+            return [m for m in self._msgs if m.seq > last_seq]
 
     def wait(self, timeout: Optional[float] = None) -> bool:
         ok = self._event.wait(timeout)
@@ -222,9 +246,11 @@ class NodeGraph:
         self.topics: Dict[str, Topic] = {}
         self.nodes: Dict[str, Node] = {}
 
-    def topic(self, name: str) -> Topic:
+    def topic(self, name: str, history: int = 1) -> Topic:
         if name not in self.topics:
-            self.topics[name] = Topic(name)
+            self.topics[name] = Topic(name, history)
+        elif history > 1:
+            self.topics[name].set_history(history)
         return self.topics[name]
 
     def add_node(self, name: str, fn: Callable, inputs: List[str],

@@ -90,6 +90,34 @@ class _OverlapMixin:
         out, metas = self._inflight.popleft()
         return np.asarray(out), metas
 
+    def _serve(self, frame_input, meta, dispatch, finish, name):
+        """Overlapped serving core shared by the DNN nodes (one copy of
+        the accumulate/dispatch/fetch/wrap sequence so a fix can't land
+        in one node and miss the others).
+
+        ``frame_input``: this frame's host-prepped input (any object);
+        ``meta``: per-frame metadata whose LAST element is the source
+        stamp; ``dispatch(inputs)``: list of frame_inputs -> device
+        batch; ``finish(host_row, meta)``: one batch row -> host result.
+        Returns None while the batch fills / the pipeline primes, else
+        Stamped result(s) under true source stamps."""
+        self._batch.append((frame_input, meta))
+        if len(self._batch) < self.microbatch:
+            return None
+        with self.profiler.stage(f"{name}/dispatch"):
+            inputs = [b[0] for b in self._batch]
+            metas = [b[1] for b in self._batch]
+            self._batch.clear()
+            self._queue(dispatch(inputs), metas)
+        with self.profiler.stage(f"{name}/fetch"):
+            got = self._pop_ready()
+        if got is None:
+            return None
+        res, metas = got
+        outs = [Stamped(finish(res[i], m), m[-1])
+                for i, m in enumerate(metas)]
+        return outs if len(outs) > 1 else outs[0]
+
     def drain(self):
         """Block until everything in flight is fetched and discard it
         (warm-up / shutdown); also discards a partial microbatch. The
@@ -101,6 +129,17 @@ class _OverlapMixin:
     def close(self):
         self.drain()
 
+
+
+def _pin_params(params, device):
+    """device_put every array blob of a CaffeNet param tree; non-array
+    leaves (the lazy InnerProduct placeholder tuples of random-weight
+    nets, `models/caffe_net.py:_inner_product`) pass through and
+    materialize on first forward as usual."""
+    return {name: [jax.device_put(b, device)
+                   if isinstance(b, (np.ndarray, jnp.ndarray)) else b
+                   for b in blobs]
+            for name, blobs in params.items()}
 
 
 def _host_resize(x_u8: np.ndarray, hw, *, interpolation: str) -> np.ndarray:
@@ -273,25 +312,21 @@ class StereoNode(_OverlapMixin):
                 out = np.asarray(self._fn(self._params, self._put(left_u8),
                                           self._put(right_u8)))
             return self._from_wire(out[0])
-        self._batch.append((left_u8, right_u8,
-                            time.monotonic() if stamp is None else stamp))
-        if len(self._batch) < self.microbatch:
-            return None
-        with self.profiler.stage(f"stereo/{self.spec.name}/dispatch"):
-            lp = np.concatenate([b[0] for b in self._batch])
-            rp = np.concatenate([b[1] for b in self._batch])
-            stamps = [b[2] for b in self._batch]
-            self._batch.clear()
-            self._queue(self._fn(self._params, self._put(lp),
-                                 self._put(rp)), stamps)
-        with self.profiler.stage(f"stereo/{self.spec.name}/fetch"):
-            got = self._pop_ready()
-        if got is None:
-            return None
-        res, stamps = got
-        outs = [Stamped(self._from_wire(res[i]), s)
-                for i, s in enumerate(stamps)]
-        return outs if len(outs) > 1 else outs[0]
+
+        def dispatch(inputs):
+            # single-frame batches skip the concatenate (a full-frame
+            # host memcpy for nothing on the 1-core box)
+            lp = inputs[0][0] if len(inputs) == 1 \
+                else np.concatenate([i[0] for i in inputs])
+            rp = inputs[0][1] if len(inputs) == 1 \
+                else np.concatenate([i[1] for i in inputs])
+            return self._fn(self._params, self._put(lp), self._put(rp))
+
+        return self._serve(
+            (left_u8, right_u8),
+            (time.monotonic() if stamp is None else stamp,),
+            dispatch, lambda row, m: self._from_wire(row),
+            f"stereo/{self.spec.name}")
 
     def _from_wire(self, disp: np.ndarray) -> np.ndarray:
         if self._wire == "u16":
@@ -348,6 +383,13 @@ class TrailNetNode(_OverlapMixin):
         self.net = net if net is not None else load_trailnet()
         self.profiler = profiler or StageProfiler()
         self._device = device
+        if device is not None:
+            # Pin the WEIGHTS to the stage's device too (stage-per-device
+            # pipeline parallelism): without this only the per-call input
+            # moved and the weight constants stayed wherever the net was
+            # built. In place so `net.params` IS the pinned tree — the
+            # dryrun asserts placement on it.
+            self.net.params = _pin_params(self.net.params, device)
         h, w = INPUT_HW
         self._hw = (h, w)
         self._init_overlap(overlap, microbatch)
@@ -364,33 +406,28 @@ class TrailNetNode(_OverlapMixin):
 
         self._fn = jax.jit(run)
 
+    def _put(self, x):
+        return jax.device_put(x, self._device) \
+            if self._device is not None else jnp.asarray(x)
+
     def __call__(self, frame_u8, stamp: Optional[float] = None):
+        frame_u8 = np.asarray(frame_u8)
+        if frame_u8.ndim == 4:  # single-frame serving contract: accept a
+            frame_u8 = frame_u8[0]  # (1, H, W, 3) batch-of-one
         with self.profiler.stage("trailnet/pack"):
-            frame_u8 = _host_resize(np.asarray(frame_u8), self._hw,
+            frame_u8 = _host_resize(frame_u8, self._hw,
                                     interpolation="cubic")
         if not self.overlap:
-            x = jnp.asarray(frame_u8) if self._device is None \
-                else jax.device_put(frame_u8, self._device)
             with self.profiler.stage("trailnet"):
-                return np.asarray(self._fn(x))[0]
-        self._batch.append((frame_u8,
-                            time.monotonic() if stamp is None else stamp))
-        if len(self._batch) < self.microbatch:
-            return None
-        with self.profiler.stage("trailnet/dispatch"):
-            x = np.stack([b[0] for b in self._batch])
-            stamps = [b[1] for b in self._batch]
-            self._batch.clear()
-            xd = jnp.asarray(x) if self._device is None \
-                else jax.device_put(x, self._device)
-            self._queue(self._fn(xd), stamps)
-        with self.profiler.stage("trailnet/fetch"):
-            got = self._pop_ready()
-        if got is None:
-            return None
-        res, stamps = got
-        outs = [Stamped(res[i], s) for i, s in enumerate(stamps)]
-        return outs if len(outs) > 1 else outs[0]
+                return np.asarray(self._fn(self._put(frame_u8)))[0]
+
+        def dispatch(frames):
+            x = frames[0] if len(frames) == 1 else np.stack(frames)
+            return self._fn(self._put(x))
+
+        return self._serve(
+            frame_u8, (time.monotonic() if stamp is None else stamp,),
+            dispatch, lambda row, m: row, "trailnet")
 
 
 class YoloNode(_OverlapMixin):
@@ -405,6 +442,8 @@ class YoloNode(_OverlapMixin):
         self.iou_threshold = iou_threshold
         self.profiler = profiler or StageProfiler()
         self._device = device
+        if device is not None:
+            self.net.params = _pin_params(self.net.params, device)
         self._init_overlap(overlap)
 
         def run(frame_u8):
@@ -434,16 +473,13 @@ class YoloNode(_OverlapMixin):
                 return yolo.postprocess(raw, w, h,
                                         prob_threshold=self.prob_threshold,
                                         iou_threshold=self.iou_threshold)
-        with self.profiler.stage("yolo/dispatch"):
-            self._queue(self._fn(x), [(w, h, time.monotonic()
-                                       if stamp is None else stamp)])
-        with self.profiler.stage("yolo/fetch"):
-            got = self._pop_ready()
-        if got is None:
-            return None
-        raw, ((pw, ph, pstamp),) = got
-        with self.profiler.stage("yolo/postproc"):
-            dets = yolo.postprocess(raw[0], pw, ph,
-                                    prob_threshold=self.prob_threshold,
-                                    iou_threshold=self.iou_threshold)
-        return Stamped(dets, pstamp)
+
+        def finish(row, m):
+            with self.profiler.stage("yolo/postproc"):
+                return yolo.postprocess(
+                    row, m[0], m[1], prob_threshold=self.prob_threshold,
+                    iou_threshold=self.iou_threshold)
+
+        return self._serve(
+            x, (w, h, time.monotonic() if stamp is None else stamp),
+            lambda inputs: self._fn(inputs[0]), finish, "yolo")

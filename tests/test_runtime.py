@@ -9,6 +9,7 @@ import time
 import numpy as np
 import pytest
 
+from conftest import requires_reference
 from redtail_tpu.runtime import (
     ApproxTimeSync,
     NodeGraph,
@@ -93,7 +94,11 @@ def test_synthetic_source_rate():
     t = Topic("cam")
     src = SyntheticSource(t, shape=(8, 8, 3), rate_hz=100, count=10)
     src.start()
-    time.sleep(0.5)
+    # spin, not a fixed sleep: a loaded 1-core host can starve the
+    # source thread well past the nominal 0.1 s this needs
+    deadline = time.monotonic() + 10.0
+    while src.published < 10 and time.monotonic() < deadline:
+        time.sleep(0.01)
     src.stop()
     assert src.published == 10
     assert t.latest().data.shape == (8, 8, 3)
@@ -187,7 +192,11 @@ def test_telemetry_probes():
     assert records[0]["ai_score"] == 0.0
     assert "err" in records[0]["boom"]
     tel.start()
-    time.sleep(0.1)
+    # spin (not a fixed sleep): on a loaded 1-core host the sampler
+    # thread can starve for hundreds of ms — only the COUNT matters
+    deadline = time.monotonic() + 10.0
+    while len(tel.records) <= 3 and time.monotonic() < deadline:
+        time.sleep(0.01)
     tel.stop()
     assert len(tel.records) > 3
 
@@ -713,3 +722,72 @@ def test_overlap_warmup_compiles_and_resets():
     # first post-warmup call starts a fresh pipeline
     assert node(dummy, dummy, stamp=0.0) is None
     node.drain()
+
+
+def test_topic_history_take_since():
+    """history>1 retains a microbatch burst; take_since drains it
+    oldest-first; latest-wins take() is unaffected."""
+    from redtail_tpu.runtime.graph import Topic
+
+    t = Topic("x", history=3)
+    for i in range(5):
+        t.publish(i, stamp=float(i))
+    assert t.count == 5
+    assert t.latest().data == 4
+    assert t.take(0).data == 4  # latest-wins unchanged
+    got = t.take_since(0)       # ring holds the newest 3
+    assert [m.data for m in got] == [2, 3, 4]
+    assert [m.seq for m in got] == [3, 4, 5]
+    assert t.take_since(4) == [m for m in got if m.seq > 4]
+    # growing history preserves retained messages; shrinking is a no-op
+    t.set_history(5)
+    assert [m.data for m in t.take_since(0)] == [2, 3, 4]
+    t.set_history(1)
+    assert len(t.take_since(0)) == 3
+
+
+def test_nodegraph_topic_history_upgrade():
+    from redtail_tpu.runtime.graph import NodeGraph
+
+    g = NodeGraph()
+    t = g.topic("a")
+    g.topic("a", history=4)  # upgrade in place, same object
+    assert g.topic("a") is t
+    for i in range(4):
+        t.publish(i)
+    assert len(t.take_since(0)) == 4
+
+
+@requires_reference
+def test_trailnet_overlap_accepts_batch_of_one():
+    """The overlapped path must accept the (1, H, W, 3) frames the
+    synchronous path accepts (regression: np.stack over 4D frames
+    built a 5D batch and the stage errored forever)."""
+    from redtail_tpu.models.trailnet import INPUT_HW, load_trailnet
+    from redtail_tpu.runtime.nodes import TrailNetNode
+
+    node = TrailNetNode(load_trailnet(seed=1), overlap=1)
+    h, w = INPUT_HW
+    frame4d = np.zeros((1, h, w, 3), np.uint8)
+    assert node(frame4d, stamp=1.0) is None  # priming
+    out = node(frame4d, stamp=2.0)
+    assert out is not None and out.stamp == 1.0
+    assert out.data.shape == (6,)
+    node.drain()
+
+
+@requires_reference
+def test_trailnet_device_pins_weights():
+    """device= pins the net weights, not just the per-call input
+    (stage-per-device pipeline parallelism)."""
+    from redtail_tpu.models.trailnet import load_trailnet
+    from redtail_tpu.runtime.nodes import TrailNetNode
+    import jax
+
+    dev = jax.devices()[2]
+    node = TrailNetNode(load_trailnet(seed=1), device=dev)
+    blob = next(b for blobs in node.net.params.values()
+                for b in blobs if hasattr(b, "devices"))
+    assert dev in blob.devices()
+    out = node(np.zeros((180, 320, 3), np.uint8))
+    assert out.shape == (6,)
