@@ -176,8 +176,8 @@ def bench_pipeline(duration=20.0, camera_hz=30.0):
                                      FcuState, JoyCommand, Pose)
     from redtail_tpu.models import STEREO_SPECS, init_stereo_params
     from redtail_tpu.runtime import NodeGraph, StageProfiler
-    from redtail_tpu.runtime.graph import Stamped
-    from redtail_tpu.runtime.nodes import StereoNode, TrailNetNode, YoloNode
+    from redtail_tpu.runtime.nodes import (StereoNode, TrailNetNode,
+                                           YoloNode, tap_stage)
 
     # Ingest path attribution: the numpy s2d pack costs ~8.2 ms/eye of
     # GIL-held host work at flagship size vs 0.77 native — build the
@@ -313,25 +313,14 @@ def bench_pipeline(duration=20.0, camera_hz=30.0):
     g.add_node("stereo", stereo, ["camera/left", "camera/right"],
                "stereo/disparity", max_rate_hz=camera_hz, sync_slop=0.1)
     if trailnet is not None:
-        def trail_stage(frame, stamp=None):
-            out = trailnet(frame, stamp=stamp)
-            for r in (out if isinstance(out, list)
-                      else [out] if out is not None else []):
-                ctl.on_trailnet(r.data if isinstance(r, Stamped) else r)
-            return out
-        trail_stage.needs_stamp = trailnet.needs_stamp
-        g.add_node("trailnet", trail_stage, ["camera/left"],
-                   "trails_dnn/network/output", max_rate_hz=30.0)
+        g.topic("trails_dnn/network/output", history=2)
+        g.add_node("trailnet", tap_stage(trailnet, ctl.on_trailnet),
+                   ["camera/left"], "trails_dnn/network/output",
+                   max_rate_hz=30.0)
     if yolo is not None:
-        def obj_stage(frame, stamp=None):
-            out = yolo(frame, stamp=stamp)
-            if out is not None:
-                ctl.on_objects(out.data if isinstance(out, Stamped)
-                               else out)
-            return out
-        obj_stage.needs_stamp = yolo.needs_stamp
-        g.add_node("yolo", obj_stage, ["camera/left"],
-                   "object_dnn/network/output", max_rate_hz=1.0)
+        g.add_node("yolo", tap_stage(yolo, ctl.on_objects),
+                   ["camera/left"], "object_dnn/network/output",
+                   max_rate_hz=1.0)
 
     disp_topic = g.topic("stereo/disparity")
     latency_ms = []
@@ -387,6 +376,13 @@ def bench_pipeline(duration=20.0, camera_hz=30.0):
     cam_stop.set()
     cam.join()
     g.stop()
+    # Drain the overlapped nodes' in-flight device work BEFORE the post
+    # probe: an abandoned dispatched batch (compute + async D2H pending)
+    # would contend with the probe's traffic, depress ceiling_post, and
+    # bias the serving-gain ratio upward.
+    for node in (stereo, trailnet, yolo):
+        if node is not None:
+            node.drain()
 
     # Second link-serial probe (post-window) — see the drift note above.
     ceiling_post = linkserial_probe()

@@ -237,17 +237,10 @@ def main(argv=None):
     g.add_node("stereo", stereo, ["camera/left", "camera/right"],
                "stereo/disparity", max_rate_hz=30.0, sync_slop=0.1)
     if trailnet is not None:
-        from redtail_tpu.runtime.graph import Stamped
-
-        def trail_stage(frame, stamp=None):
-            out = trailnet(frame, stamp=stamp)
-            for r in (out if isinstance(out, list)
-                      else [out] if out is not None else []):
-                ctl.on_trailnet(r.data if isinstance(r, Stamped) else r)
-            return out
-        trail_stage.needs_stamp = trailnet.needs_stamp
-        g.add_node("trailnet", trail_stage, ["camera/left"],
-                   "trails_dnn/network/output",
+        from redtail_tpu.runtime.nodes import tap_stage
+        g.topic("trails_dnn/network/output", history=args.microbatch)
+        g.add_node("trailnet", tap_stage(trailnet, ctl.on_trailnet),
+                   ["camera/left"], "trails_dnn/network/output",
                    max_rate_hz=args.trailnet_rate)
 
     if yolo is not None:

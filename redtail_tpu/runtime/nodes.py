@@ -90,12 +90,22 @@ class _OverlapMixin:
         out, metas = self._inflight.popleft()
         return np.asarray(out), metas
 
+    def _put(self, x):
+        # device_put straight from host memory: uploading via
+        # jnp.asarray first would land on the default device and then
+        # ICI-copy to the pinned one (double transfer per frame).
+        return jax.device_put(x, self._device) \
+            if self._device is not None else jnp.asarray(x)
+
     def _serve(self, frame_input, meta, dispatch, finish, name):
         """Overlapped serving core shared by the DNN nodes (one copy of
         the accumulate/dispatch/fetch/wrap sequence so a fix can't land
         in one node and miss the others).
 
-        ``frame_input``: this frame's host-prepped input (any object);
+        ``frame_input``: this frame's host-prepped input (any object)
+        that contributes exactly ONE row to the dispatched batch — the
+        per-frame metas are matched to batch rows by position, so the
+        nodes reject pre-batched (N>1) per-call inputs at entry;
         ``meta``: per-frame metadata whose LAST element is the source
         stamp; ``dispatch(inputs)``: list of frame_inputs -> device
         batch; ``finish(host_row, meta)``: one batch row -> host result.
@@ -129,6 +139,27 @@ class _OverlapMixin:
     def close(self):
         self.drain()
 
+
+def tap_stage(node, on_result):
+    """Wrap a serving node for `NodeGraph` so every result it produces
+    also feeds ``on_result(data)`` (e.g. the controller's
+    on_trailnet / on_objects callbacks) before publishing.
+
+    Centralizes the Stamped / list-of-Stamped unwrap AND forwards
+    ``needs_stamp`` — hand-rolled copies of this wrapper had to
+    remember that attribute manually, and forgetting it silently
+    re-stamped overlapped results at dispatch time (under-reporting
+    camera->output latency, exactly what `graph.Stamped` exists to
+    prevent)."""
+    def stage(*frames, stamp=None):
+        out = node(*frames, stamp=stamp) if node.needs_stamp \
+            else node(*frames)
+        for r in (out if isinstance(out, list)
+                  else [out] if out is not None else []):
+            on_result(r.data if isinstance(r, Stamped) else r)
+        return out
+    stage.needs_stamp = node.needs_stamp
+    return stage
 
 
 def _pin_params(params, device):
@@ -277,13 +308,6 @@ class StereoNode(_OverlapMixin):
         self._params = params
         self._init_overlap(overlap, microbatch)
 
-    def _put(self, x):
-        # device_put straight from host memory: uploading via
-        # jnp.asarray first would land on the default device and then
-        # ICI-copy to the pinned one (double transfer per frame).
-        return jax.device_put(x, self._device) \
-            if self._device is not None else jnp.asarray(x)
-
     def _host_prep(self, x_u8):
         """Resize (if needed) + BGR->RGB + s2d pack, all on host uint8:
         overlaps device compute in the pipeline; H2D bytes unchanged.
@@ -298,6 +322,15 @@ class StereoNode(_OverlapMixin):
     def __call__(self, left_u8, right_u8, stamp: Optional[float] = None):
         if left_u8.ndim == 3:
             left_u8, right_u8 = left_u8[None], right_u8[None]
+        if len(left_u8) != 1 or len(right_u8) != 1:
+            # One frame pair per call: the serving core matches batch
+            # rows to per-call stamps by position, so a pre-batched
+            # input would publish frames under the wrong stamps.
+            # Batching is the NODE's job (microbatch=M).
+            raise ValueError(
+                "StereoNode serves one frame pair per call ((H, W, 3) "
+                f"or (1, H, W, 3)); got leading dims "
+                f"{len(left_u8)}/{len(right_u8)}")
         if not self._s2d:
             left_u8 = _host_resize(np.asarray(left_u8), self._hw,
                                    interpolation="area")
@@ -406,14 +439,15 @@ class TrailNetNode(_OverlapMixin):
 
         self._fn = jax.jit(run)
 
-    def _put(self, x):
-        return jax.device_put(x, self._device) \
-            if self._device is not None else jnp.asarray(x)
-
     def __call__(self, frame_u8, stamp: Optional[float] = None):
         frame_u8 = np.asarray(frame_u8)
         if frame_u8.ndim == 4:  # single-frame serving contract: accept a
-            frame_u8 = frame_u8[0]  # (1, H, W, 3) batch-of-one
+            if frame_u8.shape[0] != 1:  # (1, H, W, 3) batch-of-one only
+                raise ValueError(
+                    "TrailNetNode serves one frame per call; got batch "
+                    f"of {frame_u8.shape[0]} (batching is the node's "
+                    "job, microbatch=M)")
+            frame_u8 = frame_u8[0]
         with self.profiler.stage("trailnet/pack"):
             frame_u8 = _host_resize(frame_u8, self._hw,
                                     interpolation="cubic")
@@ -460,12 +494,15 @@ class YoloNode(_OverlapMixin):
         from redtail_tpu.models import yolo
 
         frame_u8 = np.asarray(frame_u8)
+        if frame_u8.ndim == 4 and frame_u8.shape[0] != 1:
+            raise ValueError(
+                "YoloNode serves one frame per call; got batch of "
+                f"{frame_u8.shape[0]}")
         h, w = frame_u8.shape[:2] if frame_u8.ndim == 3 \
             else frame_u8.shape[1:3]
         frame_u8 = _host_resize(frame_u8, (448, 448),
                                 interpolation="cubic")
-        x = jnp.asarray(frame_u8) if self._device is None \
-            else jax.device_put(frame_u8, self._device)
+        x = self._put(frame_u8)
         if not self.overlap:
             with self.profiler.stage("yolo/dnn"):
                 raw = np.asarray(self._fn(x))[0]

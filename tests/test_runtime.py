@@ -791,3 +791,78 @@ def test_trailnet_device_pins_weights():
     assert dev in blob.devices()
     out = node(np.zeros((180, 320, 3), np.uint8))
     assert out.shape == (6,)
+
+
+@requires_reference
+def test_nodes_reject_prebatched_frames():
+    """The overlapped serving core matches batch rows to per-call stamps
+    by position, so a pre-batched (N>1) per-call input must raise — it
+    would otherwise publish frames under the wrong stamps (review
+    finding r5). Batching is the node's own job (microbatch=M)."""
+    from redtail_tpu.models import STEREO_SPECS, init_stereo_params
+    from redtail_tpu.models.trailnet import INPUT_HW, load_trailnet
+    from redtail_tpu.runtime.nodes import StereoNode, TrailNetNode
+
+    spec = dataclasses.replace(STEREO_SPECS["resnet18_2d"],
+                               input_hw=(64, 128), max_disp=8)
+    node = StereoNode(spec, init_stereo_params(spec), overlap=1,
+                      microbatch=2)
+    two = np.zeros((2, 64, 128, 3), np.uint8)
+    with pytest.raises(ValueError, match="one frame pair per call"):
+        node(two, two, stamp=0.0)
+
+    h, w = INPUT_HW
+    tnode = TrailNetNode(load_trailnet(seed=1), overlap=1)
+    with pytest.raises(ValueError, match="one frame per call"):
+        tnode(np.zeros((2, h, w, 3), np.uint8), stamp=0.0)
+
+
+def test_tap_stage_unwraps_and_forwards_needs_stamp():
+    """tap_stage must (a) feed on_result the UNWRAPPED data for plain,
+    Stamped, and list-of-Stamped results, (b) return the node's output
+    untouched for the graph to publish, and (c) forward needs_stamp —
+    the hand-rolled wrappers it replaces forgot that attribute, which
+    silently re-stamped overlapped results at dispatch time."""
+    from redtail_tpu.runtime.graph import Stamped
+    from redtail_tpu.runtime.nodes import tap_stage
+
+    class FakeNode:
+        needs_stamp = True
+
+        def __init__(self):
+            self.calls = []
+
+        def __call__(self, frame, stamp=None):
+            self.calls.append(stamp)
+            if frame == "none":
+                return None
+            if frame == "plain":
+                return "result"
+            if frame == "one":
+                return Stamped("r1", 1.0)
+            return [Stamped("r2", 2.0), Stamped("r3", 3.0)]
+
+    node = FakeNode()
+    seen = []
+    stage = tap_stage(node, seen.append)
+    assert stage.needs_stamp is True
+
+    assert stage("none", stamp=0.5) is None
+    assert seen == [] and node.calls == [0.5]  # stamp reached the node
+    assert stage("plain", stamp=0.6) == "result"
+    out = stage("one", stamp=0.7)
+    assert isinstance(out, Stamped) and out.stamp == 1.0
+    outs = stage("burst", stamp=0.8)
+    assert [o.stamp for o in outs] == [2.0, 3.0]
+    assert seen == ["result", "r1", "r2", "r3"]
+
+    class SyncNode:
+        needs_stamp = False
+
+        def __call__(self, frame):  # must NOT be passed a stamp kwarg
+            return "sync"
+
+    sync = tap_stage(SyncNode(), seen.append)
+    assert sync.needs_stamp is False
+    assert sync("f") == "sync"
+    assert seen[-1] == "sync"
