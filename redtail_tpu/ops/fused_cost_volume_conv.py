@@ -28,10 +28,23 @@ pipeline could not express across its plugin boundary.
 
 from __future__ import annotations
 
+import os
+
 import jax.numpy as jnp
 from jax import lax
 
 from redtail_tpu.ops.convolution import _precision_for
+
+
+def use_pallas_cv_emit() -> bool:
+    """Gate for the Pallas packed-emission kernel
+    (`kernels/fused_cv_emit_pallas.py`): replaces the XLA per-disparity
+    assembly loop of `emit='dh_shifted'`. Opt-in while under evaluation
+    (REDTAIL_TPU_PALLAS_CV_EMIT=1, TPU backend only — interpret-mode
+    correctness is gated in tests by calling the kernel directly)."""
+    import jax
+    return os.environ.get("REDTAIL_TPU_PALLAS_CV_EMIT", "0") == "1" and \
+        jax.default_backend() == "tpu"
 
 
 def _conv2d_nhwc(x, w, accum_dtype=jnp.float32, precision=None):
@@ -189,6 +202,19 @@ def cost_volume_conv3d(left, right, w, b=None, max_disp: int = 48,
             orig = 2 * _np.arange(hp + 1) - 1 + qh
             good = ((orig >= 0) & (orig <= h - 1)).astype(_np.float32)
             return jnp.asarray(good[None, :, None, None], dtype)
+
+        from redtail_tpu.ops.activations import elu as _elu
+        if use_pallas_cv_emit() and act is _elu and b is not None \
+                and left.shape[0] == 1 and max_disp % 2 == 0:
+            from redtail_tpu.kernels.fused_cv_emit_pallas import (
+                emit_dh_shifted_pallas)
+
+            def split(t):
+                return (h_split(t, 0), h_split(t, 1))
+            return emit_dh_shifted_pallas(
+                [split(t) for t in a], split(a_sum),
+                [split(t) for t in bk], [split(t) for t in cc],
+                b, max_disp, h)
 
         outs = []
         for qh in (0, 1):
