@@ -90,7 +90,9 @@ def _emit_kernel(base_ref, smap_ref, fixv_ref, fixl_ref, bias_ref, o_ref,
             fixl = fixl_ref[qh, 0, qd, 0].astype(jnp.float32)  # (Hb, K)
             acc = acc + jnp.where(wid == w - 1, fixl[:, None, :], 0.0)
             acc = acc + bias
-            acc = jnp.where(acc > 0, acc, jnp.expm1(acc))      # ELU
+            # ELU; exp-1 rather than expm1 (unimplemented in the Mosaic
+            # TC lowering), fp32 — drift gated in tests
+            acc = jnp.where(acc > 0, acc, jnp.exp(acc) - 1.0)
             # Packed-layout boundary rows (original row 2g-1+qh outside
             # [0, H)) and out-of-range depth slots must end EXACTLY
             # zero — after bias+activation.
